@@ -1,0 +1,71 @@
+"""Relation container and the reference's on-disk format.
+
+The data plane contract is the reference's: a relation is two parallel raw
+little-endian uint32 arrays (keys, vals) stored as ``ik_<N>.txt`` /
+``iv_<N>.txt`` for the inner side and ``ok_<N>.txt`` / ``ov_<N>.txt`` for the
+outer side (write.cpp:1824-1865; consumed by the join binaries at
+phj.cpp:2077-2111).  Generation is decoupled from joining through these files,
+which is also the checkpoint/resume story (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Relation:
+    keys: np.ndarray  # uint32[n]
+    vals: np.ndarray  # uint32[n]
+
+    def __post_init__(self):
+        assert self.keys.dtype == np.uint32 and self.vals.dtype == np.uint32
+        assert self.keys.shape == self.vals.shape and self.keys.ndim == 1
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    @property
+    def checksum(self) -> int:
+        """uint64 wraparound sum of keys (write.cpp:1524-1537 semantics)."""
+        return int(np.sum(self.keys.astype(np.uint64), dtype=np.uint64))
+
+
+def _names(side: str, n: int) -> tuple[str, str]:
+    p = "i" if side == "inner" else "o"
+    return f"{p}k_{n}.txt", f"{p}v_{n}.txt"
+
+
+def save_relation(rel: Relation, side: str, directory: str) -> tuple[str, str]:
+    kname, vname = _names(side, len(rel))
+    kpath = os.path.join(directory, kname)
+    vpath = os.path.join(directory, vname)
+    rel.keys.astype("<u4").tofile(kpath)
+    rel.vals.astype("<u4").tofile(vpath)
+    return kpath, vpath
+
+
+def load_relation(side: str, n: int, directory: str) -> Relation:
+    kname, vname = _names(side, n)
+    keys = np.fromfile(os.path.join(directory, kname), dtype="<u4", count=n)
+    vals = np.fromfile(os.path.join(directory, vname), dtype="<u4", count=n)
+    if len(keys) != n or len(vals) != n:
+        raise ValueError(f"relation files for {side}/{n} are truncated")
+    return Relation(keys.astype(np.uint32), vals.astype(np.uint32))
+
+
+def expected_join_tuples(inner: int, outer: int, selc: float = 1.0) -> int:
+    """Analytic expected join cardinality (npj.cpp:937-942).
+
+    distinct = min(inner, outer); join_distinct = distinct * selc;
+    join = (outer/odist) * (inner/idist) * join_distinct, truncated.
+    """
+    inner_distinct = min(inner, outer)
+    outer_distinct = min(inner, outer)
+    join_distinct = int(min(inner_distinct, outer_distinct) * selc)
+    outer_repeats = outer / outer_distinct
+    inner_repeats = inner / inner_distinct
+    return int(outer_repeats * inner_repeats * join_distinct)

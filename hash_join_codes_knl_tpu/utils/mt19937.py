@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# All arithmetic here is modular by design; numpy overflow warnings are noise.
+np.seterr(over="ignore")
+
 _U32 = np.uint32
 _U64 = np.uint64
 

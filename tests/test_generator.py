@@ -1,0 +1,139 @@
+"""Generator tests: stream determinism, reference-semantics properties,
+native/Python byte parity, file round-trip."""
+
+import numpy as np
+import pytest
+
+from hash_join_codes_knl_tpu import native
+from hash_join_codes_knl_tpu.relation import (
+    expected_join_tuples,
+    load_relation,
+    save_relation,
+)
+from hash_join_codes_knl_tpu.relgen._pygen import (
+    default_factors,
+    fisher_yates,
+    generate_py,
+    unique_fill,
+    zipf_rank_counts,
+)
+from hash_join_codes_knl_tpu.relgen.generate import generate, generate_to_dir
+from hash_join_codes_knl_tpu.utils.mt19937 import MT19937
+
+
+def test_unique_fill_is_distinct_nonzero_and_stream_exact():
+    gen = MT19937(7)
+    keys = unique_fill(gen, 5000)
+    assert len(np.unique(keys)) == 5000
+    assert (keys != 0).all()
+    # Stream-exact: a scalar rejection sampler consumes the same draws.
+    gen2 = MT19937(7)
+    seen = set()
+    out = []
+    while len(out) != 5000:
+        k = int(gen2.take(1)[0])
+        if k == 0 or k in seen:
+            continue
+        seen.add(k)
+        out.append(k)
+    np.testing.assert_array_equal(keys, np.array(out, dtype=np.uint32))
+    # and the generator state is aligned afterwards
+    np.testing.assert_array_equal(gen.take(16), gen2.take(16))
+
+
+def test_fisher_yates_matches_scalar():
+    gen = MT19937(99)
+    data = np.arange(1, 1001, dtype=np.uint32)
+    fisher_yates(data, gen)
+    # scalar transcription of write.cpp:1429-1440
+    gen2 = MT19937(99)
+    ref = list(range(1, 1001))
+    n = len(ref)
+    for i in range(n):
+        j = ((int(gen2.take(1)[0]) * (n - i)) >> 32) + i
+        ref[i], ref[j] = ref[j], ref[i]
+    np.testing.assert_array_equal(data, np.array(ref, dtype=np.uint32))
+
+
+def test_ref_mode_structure():
+    inner, outer, meta = generate(
+        seed=11, inner_tuples=4096, outer_tuples=4096, prefer_native=False
+    )
+    # all inner keys distinct (inner_tuples == inner_distinct)
+    assert len(np.unique(inner.keys)) == 4096
+    # every outer key exists among inner keys (selc=1)
+    assert np.isin(outer.keys, inner.keys).all()
+    # vals are key * factor
+    f = meta["factors"]
+    np.testing.assert_array_equal(inner.vals, inner.keys * np.uint32(f[2]))
+    np.testing.assert_array_equal(outer.vals, outer.keys * np.uint32(f[3]))
+    # checksums are pre-shuffle sums == post-shuffle sums
+    assert meta["inner_checksum"] == inner.checksum
+    assert meta["outer_checksum"] == outer.checksum
+
+
+def test_selectivity():
+    inner, outer, meta = generate(
+        seed=3, inner_tuples=2000, outer_tuples=6000, selc=0.5,
+        mode="uniform", prefer_native=False,
+    )
+    matched = np.isin(outer.keys, inner.keys)
+    # outer pool overlaps inner pool in exactly join_distinct keys
+    outer_matched_distinct = len(np.unique(outer.keys[matched]))
+    assert outer_matched_distinct <= meta["join_distinct"]
+    assert meta["join_distinct"] == 1000
+    umatched = len(np.unique(outer.keys)) - outer_matched_distinct
+    assert umatched > 0  # some outer keys fall outside the join
+
+
+def test_zipf_counts_and_skew():
+    counts = zipf_rank_counts(100_000, 10_000, 1.0)
+    assert counts.sum() <= 100_000
+    assert counts[0] > counts[-1]
+    assert counts[0] > 5000  # rank 1 of zipf(1.0) carries ~ 1/H_R of mass
+    inner, outer, _ = generate(
+        seed=5, inner_tuples=5000, outer_tuples=50_000, zipf=1.0,
+        mode="zipf", prefer_native=False,
+    )
+    _, freq = np.unique(outer.keys, return_counts=True)
+    assert freq.max() > 20 * np.median(freq)  # heavy hitter exists
+
+
+def test_expected_join_tuples_formula():
+    assert expected_join_tuples(4096, 4096) == 4096
+    assert expected_join_tuples(16, 256) == 256
+    assert expected_join_tuples(2000, 6000, 0.5) == 3000
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_matches_python_exactly():
+    for kw in (
+        dict(inner_tuples=3000, outer_tuples=3000, mode="ref"),
+        dict(inner_tuples=1000, outer_tuples=7000, mode="uniform"),
+        dict(inner_tuples=1000, outer_tuples=7000, mode="zipf", zipf=0.75),
+        dict(inner_tuples=1000, outer_tuples=7000, mode="zipf", zipf=1.0),
+        dict(inner_tuples=3000, outer_tuples=2000, mode="uniform", selc=0.25),
+    ):
+        pi, po, pm = generate(seed=21, prefer_native=False, **kw)
+        ni, no, nm = generate(seed=21, prefer_native=True, **kw)
+        np.testing.assert_array_equal(pi.keys, ni.keys)
+        np.testing.assert_array_equal(pi.vals, ni.vals)
+        np.testing.assert_array_equal(po.keys, no.keys)
+        np.testing.assert_array_equal(po.vals, no.vals)
+        assert pm["inner_checksum"] == nm["inner_checksum"]
+        assert pm["outer_checksum"] == nm["outer_checksum"]
+        assert pm["join_distinct"] == nm["join_distinct"]
+
+
+def test_file_round_trip(tmp_path):
+    meta = generate_to_dir(
+        str(tmp_path), seed=1, inner_tuples=512, outer_tuples=2048,
+        mode="uniform", prefer_native=False,
+    )
+    inner = load_relation("inner", 512, str(tmp_path))
+    outer = load_relation("outer", 2048, str(tmp_path))
+    assert inner.checksum == meta["inner_checksum"]
+    assert outer.checksum == meta["outer_checksum"]
+    # round-trip identity
+    p1, _ = save_relation(inner, "inner", str(tmp_path))
+    assert load_relation("inner", 512, str(tmp_path)).checksum == inner.checksum
