@@ -1,0 +1,91 @@
+"""Headline benchmark: PHJ join throughput on the BASELINE workload.
+
+Workload: 16M build x 256M probe uniform u32 relations from the reference
+generator semantics (BASELINE.json config matrix).  Metric: probe tuples per
+second per chip, steady state (post-compile, median of timed runs).
+vs_baseline compares against the reference suite's best published number:
+PHJ at ~4.4 s on 200M x 200M on a 64-core KNL in cache mode == ~45.45M
+probe-tuples/s aggregate (README.md:17, figures/perf.png; BASELINE.md).
+
+Prints exactly one JSON line.  Scale can be overridden with
+HJK_BENCH_INNER/HJK_BENCH_OUTER (tuple counts) for smoke runs.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TUPLES_PER_S = 200_000_000 / 4.4  # reference best (PHJ, KNL cache)
+
+
+def main():
+    inner_n = int(os.environ.get("HJK_BENCH_INNER", 16_000_000))
+    outer_n = int(os.environ.get("HJK_BENCH_OUTER", 256_000_000))
+    reps = int(os.environ.get("HJK_BENCH_REPS", 5))
+
+    import jax
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.phj import phj_join
+    from hash_join_codes_knl_tpu.engine.config import plan_join
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+    from hash_join_codes_knl_tpu.relation import expected_join_tuples
+
+    mode = "ref" if outer_n <= inner_n else "uniform"
+    inner, outer, _ = generate(
+        seed=42, inner_tuples=inner_n, outer_tuples=outer_n, mode=mode
+    )
+    plan = plan_join(inner_n, outer_n)
+
+    ik = jax.device_put(jnp.asarray(inner.keys))
+    iv = jax.device_put(jnp.asarray(inner.vals))
+    ok = jax.device_put(jnp.asarray(outer.keys))
+    ov = jax.device_put(jnp.asarray(outer.vals))
+
+    def run():
+        res = phj_join(ik, iv, ok, ov, plan)
+        return res.join_tuples.block_until_ready()
+
+    got = int(run())  # compile + warm
+    want = expected_join_tuples(inner_n, outer_n) % (1 << 32)
+    if got != want:
+        print(
+            json.dumps(
+                {
+                    "metric": "phj_join_throughput",
+                    "value": 0.0,
+                    "unit": "probe-tuples/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"wrong cardinality: got {got} want {want}",
+                }
+            )
+        )
+        sys.exit(1)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    tput = outer_n / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"phj_join_throughput_{inner_n//10**6}Mx{outer_n//10**6}M",
+                "value": round(tput, 1),
+                "unit": "probe-tuples/s/chip",
+                "vs_baseline": round(tput / BASELINE_TUPLES_PER_S, 3),
+                "seconds": round(dt, 4),
+                "join_tuples": got,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Join plans: the runtime knob set (SURVEY.md section 5 config row).
+
+The reference's compile-time -D flags and hardcoded constants (load factors,
+NUM_PARTITIONS=4096, buffer/block sizes; npj.cpp:944-947, phj.cpp:1976-1979,
+cpra2.cpp:2023-2034) become one frozen dataclass chosen at trace time.  The
+pass/fanout policy mirrors phj.cpp:1791-1808 (enough passes that the last
+level is cache -- here VMEM -- resident), re-derived for TPU tile geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+DEFAULT_FACTOR = 0x9E3779B1  # odd golden-ratio factor; any odd u32 works
+
+
+@dataclasses.dataclass(frozen=True)
+class JoinPlan:
+    p_bits: int  # total partition bits; fanout P = 2^p_bits
+    slots: int  # build-table slots per partition (VMEM-resident row)
+    tile: int  # probe tile = probe-side pad quantum
+    factor: int = DEFAULT_FACTOR
+    pass_bits: tuple = ()  # per-pass radix bits for the Pallas partitioner
+    skip_bits: int = 0  # hash bits already consumed by upstream routing
+
+    @property
+    def num_partitions(self) -> int:
+        return 1 << self.p_bits
+
+
+def plan_join(inner_n: int, outer_n: int, tile: int = 1024) -> JoinPlan:
+    """Pick a plan: build rows ~half full at the chosen fanout, probe
+    partitions a small multiple of the tile so padding waste stays low."""
+    p_bits = 1
+    # target mean build-partition occupancy <= 128 and mean probe partition
+    # >= 2 tiles (bounds padding waste at ~25% worst case)
+    while (inner_n >> p_bits) > 128 and (outer_n >> p_bits) >= 2 * tile:
+        p_bits += 1
+    mean_build = max(1, inner_n >> p_bits)
+    slots = 1
+    while slots < mean_build * 3 or slots < 64:
+        slots *= 2
+    # split total bits into passes of at most 8 bits (VMEM buffer fanout cap)
+    remaining, passes = p_bits, []
+    while remaining > 0:
+        b = min(8, remaining)
+        passes.append(b)
+        remaining -= b
+    return JoinPlan(p_bits=p_bits, slots=slots, tile=tile,
+                    pass_bits=tuple(passes))

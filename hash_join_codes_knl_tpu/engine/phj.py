@@ -1,0 +1,129 @@
+"""PHJ: radix-partitioned hash join, single chip.
+
+The TPU re-architecture of the reference's intended PHJ pipeline
+(phj.cpp:1646-1949, with the commented-out build/probe phase at
+phj.cpp:1869-1924 restored): partition both relations by the top hash bits,
+pack each build partition into a dense VMEM-resident row, then probe each
+quantum-aligned probe tile against its single partition row with dense
+compares.  No atomics, no barriers: phases are jit-compiled dataflow and all
+offsets come from prefix sums.
+
+Output contract (`JoinResult`): aligned to the padded probe layout, where
+slot i carries (probe key, probe val, matched build val, match count).  For
+unique build keys (the benchmark workloads: inner_tuples == inner_distinct,
+write.cpp:1689) match count is 0/1 and the aligned form is the full join
+result; `materialize` compacts it to contiguous rows (close_gaps analog,
+npj.cpp:475-514).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.partition import (
+    PROBE_TILE_GROUP,
+    build_dense_table_jnp,
+    compute_pids,
+    partition_padded_jnp,
+    tile_pids,
+)
+from ..ops.probe import probe_tiles_jnp
+from .config import JoinPlan, plan_join
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class JoinResult:
+    probe_keys: jnp.ndarray  # (cap,) padded probe layout
+    probe_vals: jnp.ndarray  # (cap,)
+    match_vals: jnp.ndarray  # (cap,) build val (max over matches)
+    match_cnts: jnp.ndarray  # (cap,) number of build matches
+    build_counts: jnp.ndarray  # (P,) build partition occupancy
+
+    def tree_flatten(self):
+        return (
+            (self.probe_keys, self.probe_vals, self.match_vals,
+             self.match_cnts, self.build_counts),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def join_tuples(self) -> jnp.ndarray:
+        # u32 wraparound sum; exact below 2^32 output rows (per-shard counts
+        # are combined hierarchically at larger scale)
+        return jnp.sum(self.match_cnts.astype(jnp.uint32))
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def phj_join(
+    inner_keys: jnp.ndarray,
+    inner_vals: jnp.ndarray,
+    outer_keys: jnp.ndarray,
+    outer_vals: jnp.ndarray,
+    plan: JoinPlan,
+) -> JoinResult:
+    P = plan.num_partitions
+    # PAD_KEY (0) is the reserved null key: tuples carrying it are padding
+    # from upstream stages (exchange buckets, padded layouts) and are dropped
+    # on both sides by routing them to the out-of-range partition.
+    # build side: partition + dense pack (K1/K3 analog)
+    ipid = compute_pids(inner_keys, plan.factor, plan.p_bits, plan.skip_bits)
+    ipid = jnp.where(inner_keys != 0, ipid, P)
+    tk, tv, bcounts = build_dense_table_jnp(
+        inner_keys, inner_vals, ipid, P, plan.slots
+    )
+    # probe side: partition into the padded layout (K6/K7/K9 analog)
+    opid = compute_pids(outer_keys, plan.factor, plan.p_bits, plan.skip_bits)
+    opid = jnp.where(outer_keys != 0, opid, P)
+    pk, pv, offsets, _ = partition_padded_jnp(
+        outer_keys, outer_vals, opid, P, plan.tile
+    )
+    n_tiles = pk.shape[0] // plan.tile
+    tpid = tile_pids(offsets, n_tiles, plan.tile)
+    # probe (K2/K4 analog)
+    mv, mc = probe_tiles_jnp(
+        pk, tk, tv, bcounts, tpid, plan.tile, group=PROBE_TILE_GROUP
+    )
+    return JoinResult(pk, pv, mv, mc, bcounts)
+
+
+def join(
+    inner_keys, inner_vals, outer_keys, outer_vals, plan: JoinPlan | None = None
+) -> tuple[JoinResult, JoinPlan]:
+    if plan is None:
+        plan = plan_join(len(inner_keys), len(outer_keys))
+    res = phj_join(
+        jnp.asarray(inner_keys),
+        jnp.asarray(inner_vals),
+        jnp.asarray(outer_keys),
+        jnp.asarray(outer_vals),
+        plan,
+    )
+    return res, plan
+
+
+def materialize(res: JoinResult) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact matched rows to (keys, vals, tabs) host arrays.
+
+    Requires match counts <= 1 (unique build keys); M:N expansion is a
+    separate op.  Host-side compaction: the aligned device result is the
+    deliverable, this is the close_gaps-equivalent final packing.
+    """
+    mc = np.asarray(res.match_cnts)
+    if mc.max(initial=0) > 1:
+        raise ValueError("multi-match rows present; use the expansion path")
+    m = mc == 1
+    return (
+        np.asarray(res.probe_keys)[m],
+        np.asarray(res.probe_vals)[m],
+        np.asarray(res.match_vals)[m],
+    )

@@ -1,0 +1,137 @@
+"""Radix/hash partitioning operators (device side).
+
+TPU redesign of the reference's histogram -> interleave -> scatter pipeline
+(K6/K7/K9, phj.cpp:693-1231): partition ids are high-bit groups of one
+multiplicatively scrambled key, partitions are laid out contiguously with
+per-partition regions padded to a tile quantum, and all "atomic cursor"
+machinery (npj.cpp:244) is replaced by exact prefix-sum offsets -- TPUs have
+no global atomics, and SPMD + prefix sums make the layout fully deterministic.
+
+Two implementations per operator:
+  * `*_jnp`: pure jnp (argsort/scatter based).  Correctness oracle and CPU
+    fallback, analogous to the reference's `-D_NO_VECTOR` scalar kernels (K5).
+  * Pallas kernels live in ops/partition_pallas.py (multi-pass, VMEM
+    write-combining buffers), wired through the same API.
+
+Layout produced for the probe side ("padded partition layout"):
+  out[offsets[p] : offsets[p] + counts[p]]    = tuples of partition p
+  out[offsets[p] + counts[p] : offsets[p+1]]  = padding (key = PAD_KEY)
+with every region a multiple of `quantum` so probe tiles never straddle a
+partition boundary.  offsets has P+1 entries; out capacity is the static
+bound N + P*quantum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.hashing import hashed_key
+
+PAD_KEY = jnp.uint32(0)  # generator never emits key 0 (write.cpp:1448-1451)
+
+
+def compute_pids(
+    keys: jnp.ndarray, factor: int, p_bits: int, skip_bits: int = 0
+) -> jnp.ndarray:
+    """Partition id = p_bits of uint32(key*factor) starting skip_bits below
+    the top.  skip_bits > 0 is used by distributed stages whose owner routing
+    already consumed the top bits (parallel/cpra.py)."""
+    hk = hashed_key(keys, factor) << jnp.uint32(skip_bits)
+    return (hk >> (32 - p_bits)).astype(jnp.int32)
+
+
+PROBE_TILE_GROUP = 8  # probe scan batches this many tiles per step
+
+
+def padded_capacity(n: int, num_partitions: int, quantum: int) -> int:
+    cap = -(-n // quantum) * quantum + num_partitions * quantum
+    align = PROBE_TILE_GROUP * quantum
+    return -(-cap // align) * align
+
+
+def partition_padded_jnp(
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    pids: jnp.ndarray,
+    num_partitions: int,
+    quantum: int,
+):
+    """Stable partition into the padded layout.
+
+    Returns (out_keys, out_vals, offsets[P+1], counts[P]).
+    """
+    n = keys.shape[0]
+    cap = padded_capacity(n, num_partitions, quantum)
+    valid = (pids >= 0) & (pids < num_partitions)  # out-of-range pid == drop
+    cpid = jnp.clip(pids, 0, num_partitions - 1)
+    counts = jnp.bincount(
+        jnp.where(valid, cpid, num_partitions), length=num_partitions
+    ).astype(jnp.int32)
+    padded = ((counts + quantum - 1) // quantum) * quantum
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded, dtype=jnp.int32)]
+    )
+    order = jnp.argsort(jnp.where(valid, cpid, num_partitions), stable=True)
+    k_s = keys[order]
+    v_s = vals[order]
+    p_s = cpid[order]
+    starts = jnp.cumsum(counts, dtype=jnp.int32) - counts  # exclusive scan
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[p_s]
+    dest = jnp.where(valid[order], offsets[p_s] + rank, cap)
+    out_k = jnp.full(cap, PAD_KEY, jnp.uint32).at[dest].set(k_s, mode="drop")
+    out_v = jnp.zeros(cap, jnp.uint32).at[dest].set(v_s, mode="drop")
+    return out_k, out_v, offsets, counts
+
+
+def build_dense_table_jnp(
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    pids: jnp.ndarray,
+    num_partitions: int,
+    slots: int,
+):
+    """Build-side analog of K1/K3: a dense (P, slots) table, partition p's
+    tuples packed into row p.  Overflowing tuples (count > slots) are dropped
+    and reported via counts so the caller can re-plan (recursive split).
+
+    Returns (table_keys (P,S), table_vals (P,S), counts (P,)).
+    """
+    n = keys.shape[0]
+    valid = (pids >= 0) & (pids < num_partitions)  # out-of-range pid == drop
+    cpid = jnp.clip(pids, 0, num_partitions - 1)
+    counts = jnp.bincount(
+        jnp.where(valid, cpid, num_partitions), length=num_partitions
+    ).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(valid, cpid, num_partitions), stable=True)
+    k_s = keys[order]
+    v_s = vals[order]
+    p_s = cpid[order]
+    starts = jnp.cumsum(counts, dtype=jnp.int32) - counts
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[p_s]
+    dest = p_s * slots + rank
+    dest = jnp.where(
+        (rank < slots) & valid[order], dest, num_partitions * slots
+    )  # drop
+    tk = (
+        jnp.full(num_partitions * slots, PAD_KEY, jnp.uint32)
+        .at[dest]
+        .set(k_s, mode="drop")
+        .reshape(num_partitions, slots)
+    )
+    tv = (
+        jnp.zeros(num_partitions * slots, jnp.uint32)
+        .at[dest]
+        .set(v_s, mode="drop")
+        .reshape(num_partitions, slots)
+    )
+    return tk, tv, counts
+
+
+def tile_pids(offsets: jnp.ndarray, n_tiles: int, tile: int) -> jnp.ndarray:
+    """Partition id owning each probe tile (regions are quantum-aligned, so
+    ownership is unique).  Trailing unused tiles map to the last partition,
+    whose padding keys make them no-ops."""
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    pid = jnp.searchsorted(offsets, starts, side="right") - 1
+    return jnp.clip(pid, 0, offsets.shape[0] - 2).astype(jnp.int32)

@@ -1,0 +1,151 @@
+"""CPRA: partition-aware join with cross-worker re-aggregation, multi-chip.
+
+TPU re-architecture of the reference CPRA pipeline (cpra2.cpp:1697-1986):
+the reference's threads each radix-partition their local slice, then
+re-aggregate partition fragments across threads by memcpy into contiguous
+repositories (cpra2.cpp:1883-1906) before partition-parallel build/probe.
+On a TPU mesh, "thread" becomes "chip", and the memcpy re-aggregation becomes
+a single `all_to_all` over ICI: each chip packs its tuples into per-owner
+buckets (owner = top log2(C) bits of the hashed key), the collective delivers
+every chip its owned fragments, and the local PHJ engine joins them.
+Barriers are implicit in SPMD program order; the atomic fragment cursors
+become prefix-sum packing (ops/partition.py).
+
+The pack uses fixed-size per-owner buckets (collectives need static shapes);
+bucket capacity is a planning knob -- `exchange_cap` tuples per (src, dst)
+pair -- and overflow is detected and reported rather than silently dropped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.config import JoinPlan, plan_join
+from ..engine.phj import JoinResult, phj_join
+from ..ops.partition import PAD_KEY
+from ..utils.hashing import hashed_key
+
+
+def pack_by_owner(keys, vals, owner, n_owners: int, cap: int):
+    """Pack tuples into (n_owners, cap) padded buckets; returns
+    (bucket_keys, bucket_vals, counts).  counts may exceed cap: that is the
+    overflow signal (tuples beyond cap are dropped from the buckets)."""
+    n = keys.shape[0]
+    counts = jnp.bincount(owner, length=n_owners).astype(jnp.int32)
+    order = jnp.argsort(owner, stable=True)
+    k_s = keys[order]
+    v_s = vals[order]
+    o_s = owner[order]
+    starts = jnp.cumsum(counts, dtype=jnp.int32) - counts
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[o_s]
+    dest = jnp.where(rank < cap, o_s * cap + rank, n_owners * cap)
+    bk = (
+        jnp.full(n_owners * cap, PAD_KEY, jnp.uint32)
+        .at[dest]
+        .set(k_s, mode="drop")
+    )
+    bv = jnp.zeros(n_owners * cap, jnp.uint32).at[dest].set(v_s, mode="drop")
+    return bk.reshape(n_owners, cap), bv.reshape(n_owners, cap), counts
+
+
+def _owner_bits(n_chips: int) -> int:
+    bits = (n_chips - 1).bit_length()
+    if 1 << bits != n_chips:
+        raise ValueError(f"chip count must be a power of two, got {n_chips}")
+    return bits
+
+
+def make_cpra_step(
+    mesh: Mesh,
+    plan: JoinPlan,
+    inner_cap: int,
+    outer_cap: int,
+    axis: str = "x",
+):
+    """Build the jitted distributed join step for `mesh`.
+
+    inner_cap/outer_cap: per-(src,dst) exchange bucket capacities in tuples.
+    Returns fn(ik, iv, ok, ov) -> (JoinResult per chip, overflow flag), with
+    inputs sharded along `axis` and the result's leaves chip-local (the
+    aligned join output never needs to be gathered).
+    """
+    n_chips = mesh.shape[axis]
+    c_bits = _owner_bits(n_chips)
+    # local partitioning consumes the hash bits BELOW the owner bits --
+    # within one owner, the top c_bits are constant and carry no information
+    local_plan = dataclasses.replace(plan, skip_bits=plan.skip_bits + c_bits)
+
+    def local_step(ik, iv, ok, ov):
+        # owner chip = top bits of the scrambled key
+        i_owner = (hashed_key(ik, plan.factor) >> (32 - c_bits)).astype(
+            jnp.int32
+        )
+        o_owner = (hashed_key(ok, plan.factor) >> (32 - c_bits)).astype(
+            jnp.int32
+        )
+        bik, biv, icnt = pack_by_owner(ik, iv, i_owner, n_chips, inner_cap)
+        bok, bov, ocnt = pack_by_owner(ok, ov, o_owner, n_chips, outer_cap)
+        overflow = jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
+        # the re-aggregation memcpy (cpra2.cpp:1896-1904) as one collective
+        a2a = functools.partial(
+            jax.lax.all_to_all, axis_name=axis, split_axis=0, concat_axis=0,
+            tiled=True,
+        )
+        rik, riv = a2a(bik.reshape(-1)), a2a(biv.reshape(-1))
+        rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
+        res = phj_join(rik, riv, rok, rov, local_plan)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        return res, overflow
+
+    spec = P(axis)
+    shard_fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(
+            JoinResult(spec, spec, spec, spec, spec),
+            P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
+def cpra_join(
+    inner_keys,
+    inner_vals,
+    outer_keys,
+    outer_vals,
+    mesh: Mesh,
+    plan: JoinPlan | None = None,
+    slack: float = 2.0,
+    axis: str = "x",
+):
+    """Convenience front end: shard host arrays, run the distributed step.
+
+    slack: exchange capacity multiplier over the uniform expectation
+    (Zipf-skewed owners need headroom; heavy-hitter replication is the
+    round-2 refinement)."""
+    n_chips = mesh.shape[axis]
+    ni, no = len(inner_keys), len(outer_keys)
+    if plan is None:
+        plan = plan_join(ni // n_chips, no // n_chips)
+    inner_cap = max(64, int(ni / (n_chips * n_chips) * slack))
+    outer_cap = max(plan.tile, int(no / (n_chips * n_chips) * slack))
+    step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis)
+    sh = NamedSharding(mesh, P(axis))
+    dev = lambda x: jax.device_put(jnp.asarray(x), sh)
+    res, overflow = step(
+        dev(inner_keys), dev(inner_vals), dev(outer_keys), dev(outer_vals)
+    )
+    if bool(overflow):
+        raise RuntimeError(
+            "exchange bucket overflow: raise slack or use skew handling"
+        )
+    return res, plan

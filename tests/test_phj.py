@@ -1,0 +1,69 @@
+"""End-to-end PHJ vs the golden oracle on generated workloads."""
+
+import numpy as np
+import pytest
+
+from hash_join_codes_knl_tpu.engine.config import JoinPlan, plan_join
+from hash_join_codes_knl_tpu.engine.oracle import (
+    join_oracle,
+    multiset_digest,
+)
+from hash_join_codes_knl_tpu.engine.phj import join, materialize
+from hash_join_codes_knl_tpu.relation import expected_join_tuples
+from hash_join_codes_knl_tpu.relgen.generate import generate
+
+
+def _check_against_oracle(inner, outer):
+    res, plan = join(inner.keys, inner.vals, outer.keys, outer.vals)
+    assert int(np.asarray(res.build_counts).max()) <= plan.slots, "overflow"
+    k, v, t = materialize(res)
+    want = multiset_digest(*join_oracle(inner.keys, inner.vals,
+                                        outer.keys, outer.vals))
+    got = multiset_digest(k, v, t)
+    assert got == want
+    return res, plan
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(inner_tuples=4096, outer_tuples=4096, mode="ref"),
+        dict(inner_tuples=1024, outer_tuples=16384, mode="uniform"),
+        dict(inner_tuples=1024, outer_tuples=16384, mode="zipf", zipf=1.0),
+        dict(inner_tuples=2048, outer_tuples=16384, mode="uniform", selc=0.5),
+        dict(inner_tuples=100, outer_tuples=3000, mode="uniform"),
+    ],
+)
+def test_phj_matches_oracle(kw):
+    inner, outer, _ = generate(seed=17, prefer_native=False, **kw)
+    _check_against_oracle(inner, outer)
+
+
+def test_phj_cardinality_formula_ref_mode():
+    inner, outer, _ = generate(
+        seed=23, inner_tuples=4096, outer_tuples=4096, prefer_native=False
+    )
+    res, _ = join(inner.keys, inner.vals, outer.keys, outer.vals)
+    assert int(res.join_tuples) == expected_join_tuples(4096, 4096)
+
+
+def test_phj_explicit_small_plan():
+    inner, outer, _ = generate(
+        seed=29, inner_tuples=512, outer_tuples=8192,
+        mode="uniform", prefer_native=False,
+    )
+    plan = JoinPlan(p_bits=3, slots=128, tile=256, pass_bits=(3,))
+    res, _ = join(inner.keys, inner.vals, outer.keys, outer.vals, plan)
+    k, v, t = materialize(res)
+    want = multiset_digest(*join_oracle(inner.keys, inner.vals,
+                                        outer.keys, outer.vals))
+    assert multiset_digest(k, v, t) == want
+
+
+def test_plan_join_sanity():
+    plan = plan_join(16_000_000, 256_000_000)
+    assert plan.num_partitions >= 1 << 14
+    assert plan.slots >= (16_000_000 >> plan.p_bits)
+    assert sum(plan.pass_bits) == plan.p_bits
+    plan_small = plan_join(100, 1000)
+    assert plan_small.p_bits >= 1
