@@ -1,0 +1,139 @@
+"""CLI drivers, argv-compatible with the reference binaries (L5).
+
+    python -m hash_join_codes_knl_tpu.cli write <threads> <outer> <inner> [selc] [zipf]
+    python -m hash_join_codes_knl_tpu.cli npj   <threads> <outer> <inner> [ratio]
+    python -m hash_join_codes_knl_tpu.cli phj   <threads> <outer> <inner> [ratio]
+    python -m hash_join_codes_knl_tpu.cli cpra  <threads> <outer> <inner>
+
+Positional argv mirrors the reference mains (npj.cpp:932-935,
+phj.cpp:1962-1965, write.cpp:1680-1686).  <threads> maps to the number of
+mesh devices for cpra (power of two; 1 = single chip) and is accepted-and-
+ignored for the single-chip algorithms; <ratio> (the DDR/MCDRAM placement
+knob, npj.cpp:195) has no analog on a single-HBM-tier chip and is accepted
+for compatibility.  Extra flags: --seed N --dir PATH --json.
+
+write generates ik_/iv_/ok_/ov_<N>.txt; the join drivers load those files
+(falling back to in-memory generation when absent), run the pipeline, verify
+cardinality against the analytic formula where it is exact, and print phase
+times + throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_or_generate(args):
+    from .relation import load_relation
+    from .relgen.generate import generate
+
+    try:
+        inner = load_relation("inner", args.inner, args.dir)
+        outer = load_relation("outer", args.outer, args.dir)
+        return inner, outer
+    except (FileNotFoundError, ValueError):
+        mode = "ref" if args.outer <= args.inner else "uniform"
+        inner, outer, _ = generate(
+            args.seed, args.inner, args.outer, mode=mode
+        )
+        return inner, outer
+
+
+def _report(alg, timer, outer_n, join_tuples, as_json):
+    metrics = timer.metrics(
+        algorithm=alg,
+        outer_tuples=outer_n,
+        join_tuples=join_tuples,
+        tuples_per_s=round(outer_n / max(timer.total, 1e-9), 1),
+    )
+    if as_json:
+        print(json.dumps(metrics))
+    else:
+        for k, v in metrics.items():
+            print(f"{k:>16}: {v}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hash_join_codes_knl_tpu")
+    p.add_argument("algorithm", choices=["write", "npj", "phj", "cpra"])
+    p.add_argument("threads", type=int, nargs="?", default=1)
+    p.add_argument("outer", type=int, nargs="?", default=200_000_000)
+    p.add_argument("inner", type=int, nargs="?", default=200_000_000)
+    p.add_argument("arg4", type=float, nargs="?", default=None,
+                   help="ratio (joins) or selc (write)")
+    p.add_argument("zipf", type=float, nargs="?", default=0.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dir", default=".")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.algorithm == "write":
+        from .relgen.generate import generate_to_dir
+
+        selc = 1.0 if args.arg4 is None else args.arg4
+        mode = (
+            "zipf" if args.zipf > 0
+            else ("ref" if args.outer <= args.inner else "uniform")
+        )
+        meta = generate_to_dir(
+            args.dir, args.seed, args.inner, args.outer,
+            selc=selc, zipf=args.zipf, mode=mode,
+        )
+        print(json.dumps({k: v for k, v in meta.items() if k != "factors"}))
+        return 0
+
+    import jax.numpy as jnp
+
+    from .relation import expected_join_tuples
+    from .utils.timing import PhaseTimer
+
+    inner, outer = _load_or_generate(args)
+    timer = PhaseTimer()
+    ik = timer.run("load_device", jnp.asarray, inner.keys)
+    iv, ok, ov = (jnp.asarray(x) for x in (inner.vals, outer.keys, outer.vals))
+
+    if args.algorithm == "npj":
+        from .engine.npj import npj_build, npj_probe, plan_npj
+
+        plan = plan_npj(len(ik))
+        tk, tv, _ = timer.run("build", npj_build, ik, iv, plan)
+        mv, mc = timer.run("probe", npj_probe, tk, tv, ok, plan)
+        join_tuples = int(np.asarray(mc, dtype=np.int64).sum())
+    elif args.algorithm == "phj":
+        from .engine.config import plan_join
+        from .engine.phj import phj_join
+
+        plan = plan_join(len(ik), len(ok))
+        res = timer.run("partition+build+probe", phj_join, ik, iv, ok, ov, plan)
+        join_tuples = int(res.join_tuples)
+    else:  # cpra
+        import jax
+
+        from .engine.config import plan_join
+        from .parallel.cpra import cpra_join
+
+        n_dev = min(args.threads, len(jax.devices()))
+        n_dev = max(1, 1 << (n_dev.bit_length() - 1))  # floor power of two
+        mesh = jax.make_mesh((n_dev,), ("x",))
+        res, _ = timer.run(
+            "exchange+join", cpra_join, inner.keys, inner.vals,
+            outer.keys, outer.vals, mesh,
+        )
+        join_tuples = int(np.asarray(res.join_tuples).sum())
+
+    expect = expected_join_tuples(len(inner.keys), len(outer.keys))
+    if args.outer <= args.inner and join_tuples != expect:
+        print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
+              file=sys.stderr)
+        return 1
+    _report(args.algorithm, timer, len(outer.keys), join_tuples, args.json)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

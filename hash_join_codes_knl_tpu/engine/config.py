@@ -23,6 +23,8 @@ class JoinPlan:
     factor: int = DEFAULT_FACTOR
     pass_bits: tuple = ()  # per-pass radix bits for the Pallas partitioner
     skip_bits: int = 0  # hash bits already consumed by upstream routing
+    partition_impl: str = "sort"  # "sort" (fused lax.sort) | "argsort" (oracle)
+    probe_impl: str = "auto"  # "auto" | "pallas" | "jnp"
 
     @property
     def num_partitions(self) -> int:

@@ -28,12 +28,22 @@ import numpy as np
 from ..ops.partition import (
     PROBE_TILE_GROUP,
     build_dense_table_jnp,
+    build_dense_table_sort_jnp,
     compute_pids,
     partition_padded_jnp,
+    partition_padded_sort_jnp,
     tile_pids,
 )
 from ..ops.probe import probe_tiles_jnp
+from ..ops.probe_pallas import probe_tiles_pallas
 from .config import JoinPlan, plan_join
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -76,23 +86,37 @@ def phj_join(
     # from upstream stages (exchange buckets, padded layouts) and are dropped
     # on both sides by routing them to the out-of-range partition.
     # build side: partition + dense pack (K1/K3 analog)
+    build_table = (
+        build_dense_table_sort_jnp
+        if plan.partition_impl == "sort"
+        else build_dense_table_jnp
+    )
+    partition = (
+        partition_padded_sort_jnp
+        if plan.partition_impl == "sort"
+        else partition_padded_jnp
+    )
     ipid = compute_pids(inner_keys, plan.factor, plan.p_bits, plan.skip_bits)
     ipid = jnp.where(inner_keys != 0, ipid, P)
-    tk, tv, bcounts = build_dense_table_jnp(
-        inner_keys, inner_vals, ipid, P, plan.slots
-    )
+    tk, tv, bcounts = build_table(inner_keys, inner_vals, ipid, P, plan.slots)
     # probe side: partition into the padded layout (K6/K7/K9 analog)
     opid = compute_pids(outer_keys, plan.factor, plan.p_bits, plan.skip_bits)
     opid = jnp.where(outer_keys != 0, opid, P)
-    pk, pv, offsets, _ = partition_padded_jnp(
+    pk, pv, offsets, _ = partition(
         outer_keys, outer_vals, opid, P, plan.tile
     )
     n_tiles = pk.shape[0] // plan.tile
     tpid = tile_pids(offsets, n_tiles, plan.tile)
-    # probe (K2/K4 analog)
-    mv, mc = probe_tiles_jnp(
-        pk, tk, tv, bcounts, tpid, plan.tile, group=PROBE_TILE_GROUP
-    )
+    # probe (K2/K4 analog): Pallas kernel on TPU, jnp oracle elsewhere
+    probe_impl = plan.probe_impl
+    if probe_impl == "auto":
+        probe_impl = "pallas" if _on_tpu() else "jnp"
+    if probe_impl == "pallas":
+        mv, mc = probe_tiles_pallas(pk, tk, tv, tpid, plan.tile)
+    else:
+        mv, mc = probe_tiles_jnp(
+            pk, tk, tv, bcounts, tpid, plan.tile, group=PROBE_TILE_GROUP
+        )
     return JoinResult(pk, pv, mv, mc, bcounts)
 
 

@@ -128,6 +128,98 @@ def build_dense_table_jnp(
     return tk, tv, counts
 
 
+def _sorted_rank_and_starts(pid_s: jnp.ndarray):
+    """Per-element within-run rank for a pid-sorted stream, gather-free:
+    run starts by neighbor compare, positions by cummax."""
+    n = pid_s.shape[0]
+    j = jnp.arange(n, dtype=jnp.int32)
+    newrun = jnp.concatenate(
+        [jnp.ones(1, bool), pid_s[1:] != pid_s[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(newrun, j, 0))
+    return j, newrun, run_start, j - run_start
+
+
+def partition_padded_sort_jnp(
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    pids: jnp.ndarray,
+    num_partitions: int,
+    quantum: int,
+):
+    """partition_padded via ONE fused multi-operand sort.
+
+    Payloads ride the sort (lax.sort carries operands with the key), and
+    rank/gap-shift are computed from the sorted pid stream with pure vector
+    ops (run-start cummax, boundary-gap cumsum) -- no 10^8-element gathers.
+    The only remaining scatter is the final placement with monotone unique
+    destinations.  Semantics identical to partition_padded_jnp (tested).
+    """
+    n = keys.shape[0]
+    P = num_partitions
+    cap = padded_capacity(n, P, quantum)
+    valid = (pids >= 0) & (pids < P)
+    spid = jnp.where(valid, jnp.clip(pids, 0, P - 1), P).astype(jnp.int32)
+    pid_s, k_s, v_s = jax.lax.sort((spid, keys, vals), num_keys=1,
+                                   is_stable=True)
+    j, newrun, run_start, rank = _sorted_rank_and_starts(pid_s)
+    # gap inserted when the PREVIOUS run closes: pad its length to quantum
+    rs_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), run_start[:-1]])
+    prev_len = j - rs_prev
+    boundary_gap = jnp.where(
+        newrun & (j > 0), (-prev_len) % quantum, 0
+    ).astype(jnp.int32)
+    dest = j + jnp.cumsum(boundary_gap, dtype=jnp.int32)
+    dest = jnp.where(pid_s < P, dest, cap)  # invalid pids sort last: drop
+    out_k = jnp.full(cap, PAD_KEY, jnp.uint32).at[dest].set(k_s, mode="drop")
+    out_v = jnp.zeros(cap, jnp.uint32).at[dest].set(v_s, mode="drop")
+    bounds = jnp.searchsorted(
+        pid_s, jnp.arange(P + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]
+    padded = ((counts + quantum - 1) // quantum) * quantum
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded, dtype=jnp.int32)]
+    )
+    return out_k, out_v, offsets, counts
+
+
+def build_dense_table_sort_jnp(
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    pids: jnp.ndarray,
+    num_partitions: int,
+    slots: int,
+):
+    """build_dense_table via one fused sort + gather-free ranks."""
+    P = num_partitions
+    valid = (pids >= 0) & (pids < P)
+    spid = jnp.where(valid, jnp.clip(pids, 0, P - 1), P).astype(jnp.int32)
+    pid_s, k_s, v_s = jax.lax.sort((spid, keys, vals), num_keys=1,
+                                   is_stable=True)
+    _, _, _, rank = _sorted_rank_and_starts(pid_s)
+    dest = jnp.where(
+        (pid_s < P) & (rank < slots), pid_s * slots + rank, P * slots
+    )
+    tk = (
+        jnp.full(P * slots, PAD_KEY, jnp.uint32)
+        .at[dest]
+        .set(k_s, mode="drop")
+        .reshape(P, slots)
+    )
+    tv = (
+        jnp.zeros(P * slots, jnp.uint32)
+        .at[dest]
+        .set(v_s, mode="drop")
+        .reshape(P, slots)
+    )
+    bounds = jnp.searchsorted(
+        pid_s, jnp.arange(P + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]
+    return tk, tv, counts
+
+
 def tile_pids(offsets: jnp.ndarray, n_tiles: int, tile: int) -> jnp.ndarray:
     """Partition id owning each probe tile (regions are quantum-aligned, so
     ownership is unique).  Trailing unused tiles map to the last partition,

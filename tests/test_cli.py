@@ -1,0 +1,39 @@
+"""CLI driver smoke tests (argv compatibility, file flow, verification)."""
+
+import json
+
+import pytest
+
+from hash_join_codes_knl_tpu.cli import main
+
+
+def test_write_then_phj(tmp_path, capsys):
+    assert main(["write", "1", "4096", "4096", "--dir", str(tmp_path),
+                 "--seed", "3"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip())
+    assert meta["join_distinct"] == 4096
+    assert main(["phj", "1", "4096", "4096", "--dir", str(tmp_path),
+                 "--seed", "3", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 4096
+    assert out["tuples_per_s"] > 0
+
+
+def test_npj_cli_in_memory(capsys):
+    assert main(["npj", "1", "2048", "2048", "--seed", "5", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 2048
+    assert "build_s" in out and "probe_s" in out
+
+
+def test_cpra_cli(capsys):
+    assert main(["cpra", "8", "8192", "1024", "--seed", "7", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 8192
+
+
+def test_write_zipf(tmp_path, capsys):
+    assert main(["write", "1", "8192", "1024", "1.0", "0.75",
+                 "--dir", str(tmp_path)]) == 0
+    meta = json.loads(capsys.readouterr().out.strip())
+    assert meta["mode"] == "zipf"

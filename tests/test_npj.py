@@ -1,0 +1,60 @@
+"""NPJ engine vs the golden oracle; table-structure invariants."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hash_join_codes_knl_tpu.engine.npj import NpjPlan, npj_build, npj_join, plan_npj
+from hash_join_codes_knl_tpu.engine.oracle import join_oracle, multiset_digest
+from hash_join_codes_knl_tpu.relgen.generate import generate
+from hash_join_codes_knl_tpu.utils.hashing import np_range_hash
+
+
+def test_npj_build_findable_invariant():
+    # every key must be reachable from its home bucket scanning forward to
+    # the first empty slot
+    rng = np.random.default_rng(0)
+    keys = rng.integers(1, 2**32, 3000, dtype=np.uint32)
+    vals = keys * np.uint32(3)
+    plan = plan_npj(len(keys), load=0.75)
+    tk, tv, ov = npj_build(jnp.asarray(keys), jnp.asarray(vals), plan)
+    assert int(ov) == 0
+    tk = np.asarray(tk)
+    h = np_range_hash(keys, plan.factor, plan.buckets)
+    for k, hh in zip(keys[:500], h[:500]):
+        s = int(hh)
+        while True:
+            assert tk[s] != 0, "hit empty before finding key"
+            if tk[s] == k:
+                break
+            s += 1
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(inner_tuples=4096, outer_tuples=4096, mode="ref"),
+        dict(inner_tuples=1024, outer_tuples=8192, mode="uniform"),
+        dict(inner_tuples=1024, outer_tuples=8192, mode="zipf", zipf=1.0),
+    ],
+)
+def test_npj_matches_oracle(kw):
+    inner, outer, _ = generate(seed=37, prefer_native=False, **kw)
+    mv, mc, _ = npj_join(inner.keys, inner.vals, outer.keys, outer.vals)
+    mv, mc = np.asarray(mv), np.asarray(mc)
+    assert mc.max() <= 1  # unique build keys on these workloads
+    m = mc == 1
+    got = multiset_digest(outer.keys[m], outer.vals[m], mv[m])
+    want = multiset_digest(
+        *join_oracle(inner.keys, inner.vals, outer.keys, outer.vals)
+    )
+    assert got == want
+
+
+def test_npj_duplicate_build_keys_counted():
+    ik = np.array([5, 5, 9], dtype=np.uint32)
+    iv = np.array([1, 2, 3], dtype=np.uint32)
+    ok = np.array([5, 9, 7], dtype=np.uint32)
+    mv, mc, _ = npj_join(ik, iv, ok, ok)
+    np.testing.assert_array_equal(np.asarray(mc), [2, 1, 0])
+    assert int(np.asarray(mv)[0]) == 2  # max of matched vals

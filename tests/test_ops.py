@@ -1,0 +1,99 @@
+"""Operator tests: compact, filter, aggregate, sort, M:N expansion."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hash_join_codes_knl_tpu.ops.aggregate import hash_aggregate
+from hash_join_codes_knl_tpu.ops.compact import compact_rows
+from hash_join_codes_knl_tpu.ops.expand import expand_join
+from hash_join_codes_knl_tpu.ops.filter import filter_relation
+from hash_join_codes_knl_tpu.ops.sort import sort_relation
+from hash_join_codes_knl_tpu.engine.oracle import join_oracle, multiset_digest
+
+
+def _data(n, seed, hi=2**32):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(1, hi, n, dtype=np.uint32),
+        rng.integers(0, 2**32, n, dtype=np.uint32),
+    )
+
+
+def test_compact_rows():
+    keys, vals = _data(1000, 0)
+    flags = (keys % 3 == 0).astype(np.uint32)
+    cnt, ck, cv = compact_rows(jnp.asarray(flags), jnp.asarray(keys),
+                               jnp.asarray(vals))
+    cnt = int(cnt)
+    assert cnt == flags.sum()
+    np.testing.assert_array_equal(np.asarray(ck)[:cnt], keys[flags == 1])
+    np.testing.assert_array_equal(np.asarray(cv)[:cnt], vals[flags == 1])
+
+
+def test_filter_relation():
+    keys, vals = _data(5000, 1)
+    cnt, fk, fv = filter_relation(
+        jnp.asarray(keys), jnp.asarray(vals),
+        lambda k, v: k > jnp.uint32(2**31),
+    )
+    cnt = int(cnt)
+    m = keys > 2**31
+    assert cnt == m.sum()
+    np.testing.assert_array_equal(np.asarray(fk)[:cnt], keys[m])
+
+
+def test_hash_aggregate_matches_numpy():
+    keys, vals = _data(10_000, 2, hi=200)  # many repeats
+    n_groups, gk, sums, counts = hash_aggregate(
+        jnp.asarray(keys), jnp.asarray(vals)
+    )
+    n_groups = int(n_groups)
+    gk, sums, counts = (np.asarray(x)[:n_groups] for x in (gk, sums, counts))
+    uk = np.unique(keys)
+    assert n_groups == len(uk)
+    np.testing.assert_array_equal(np.sort(gk), uk)
+    order = np.argsort(gk)
+    for k, s, c in zip(gk[order][:50], sums[order][:50], counts[order][:50]):
+        m = keys == k
+        assert c == m.sum()
+        assert s == np.sum(vals[m].astype(np.uint32), dtype=np.uint32)
+
+
+def test_hash_aggregate_ignores_nulls():
+    keys = np.array([0, 5, 0, 5, 9], dtype=np.uint32)
+    vals = np.array([7, 1, 7, 2, 3], dtype=np.uint32)
+    n_groups, gk, sums, counts = hash_aggregate(jnp.asarray(keys),
+                                                jnp.asarray(vals))
+    assert int(n_groups) == 2
+    got = {int(k): (int(s), int(c))
+           for k, s, c in zip(np.asarray(gk)[:2], np.asarray(sums)[:2],
+                              np.asarray(counts)[:2])}
+    assert got == {5: (3, 2), 9: (3, 1)}
+
+
+def test_sort_relation():
+    keys, vals = _data(4096, 3)
+    sk, sv = sort_relation(jnp.asarray(keys), jnp.asarray(vals))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sv), vals[order])
+
+
+def test_expand_join_full_mn():
+    rng = np.random.default_rng(4)
+    ik = rng.integers(1, 50, 300, dtype=np.uint32)  # heavy duplication
+    iv = rng.integers(0, 2**32, 300, dtype=np.uint32)
+    ok = rng.integers(1, 80, 500, dtype=np.uint32)
+    ov = rng.integers(0, 2**32, 500, dtype=np.uint32)
+    want_rows = join_oracle(ik, iv, ok, ov)
+    cap = len(want_rows[0]) + 64
+    total, k, v, t = expand_join(
+        jnp.asarray(ik), jnp.asarray(iv), jnp.asarray(ok), jnp.asarray(ov),
+        capacity=cap,
+    )
+    total = int(total)
+    assert total == len(want_rows[0])
+    got = multiset_digest(
+        np.asarray(k)[:total], np.asarray(v)[:total], np.asarray(t)[:total]
+    )
+    assert got == multiset_digest(*want_rows)

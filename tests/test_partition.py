@@ -95,3 +95,25 @@ def test_tile_pids_unique_ownership():
         if start < offsets[-1]:
             p = tp[t]
             assert offsets[p] <= start and start + Q <= offsets[p + 1]
+
+
+def test_sort_variants_match_reference_impls():
+    from hash_join_codes_knl_tpu.ops.partition import (
+        build_dense_table_sort_jnp,
+        partition_padded_sort_jnp,
+    )
+
+    n, P, Q, S = 20_000, 64, 128, 512
+    keys, vals = _data(n, 9)
+    pids = np.asarray(compute_pids(jnp.asarray(keys), DEFAULT_FACTOR, 6)).copy()
+    # inject invalid pids (drop semantics must agree)
+    pids[::97] = 64
+    pids = jnp.asarray(pids)
+    a = partition_padded_jnp(jnp.asarray(keys), jnp.asarray(vals), pids, P, Q)
+    b = partition_padded_sort_jnp(jnp.asarray(keys), jnp.asarray(vals), pids, P, Q)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    c = build_dense_table_jnp(jnp.asarray(keys), jnp.asarray(vals), pids, P, S)
+    d = build_dense_table_sort_jnp(jnp.asarray(keys), jnp.asarray(vals), pids, P, S)
+    for x, y in zip(c, d):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
