@@ -36,6 +36,7 @@ from ..ops.partition import (
 )
 from ..ops.probe import probe_tiles_jnp
 from ..ops.probe_pallas import probe_tiles_pallas
+from ..utils.hashing import hashed_key, mod_inverse_u32
 from .config import JoinPlan, plan_join
 
 
@@ -96,15 +97,21 @@ def phj_join(
         if plan.partition_impl == "sort"
         else partition_padded_jnp
     )
-    ipid = compute_pids(inner_keys, plan.factor, plan.p_bits, plan.skip_bits)
-    ipid = jnp.where(inner_keys != 0, ipid, P)
-    tk, tv, bcounts = build_table(inner_keys, inner_vals, ipid, P, plan.slots)
+    # The engine runs on SCRAMBLED keys: hk = key * factor is a bijection on
+    # u32 (odd factor), equality-preserving and pid-extractable by shift, so
+    # sorts carry one fewer payload column and keys are recovered at the end
+    # with one multiply by the modular inverse.  hk == 0 iff key == 0, so the
+    # null-key convention carries over unchanged.
+    ihk = hashed_key(inner_keys, plan.factor)
+    ohk = hashed_key(outer_keys, plan.factor)
+    shift = jnp.uint32(plan.skip_bits)
+    ipid = ((ihk << shift) >> (32 - plan.p_bits)).astype(jnp.int32)
+    ipid = jnp.where(ihk != 0, ipid, P)
+    tk, tv, bcounts = build_table(ihk, inner_vals, ipid, P, plan.slots)
     # probe side: partition into the padded layout (K6/K7/K9 analog)
-    opid = compute_pids(outer_keys, plan.factor, plan.p_bits, plan.skip_bits)
-    opid = jnp.where(outer_keys != 0, opid, P)
-    pk, pv, offsets, _ = partition(
-        outer_keys, outer_vals, opid, P, plan.tile
-    )
+    opid = ((ohk << shift) >> (32 - plan.p_bits)).astype(jnp.int32)
+    opid = jnp.where(ohk != 0, opid, P)
+    pk, pv, offsets, _ = partition(ohk, outer_vals, opid, P, plan.tile)
     n_tiles = pk.shape[0] // plan.tile
     tpid = tile_pids(offsets, n_tiles, plan.tile)
     # probe (K2/K4 analog): Pallas kernel on TPU, jnp oracle elsewhere
@@ -117,7 +124,9 @@ def phj_join(
         mv, mc = probe_tiles_jnp(
             pk, tk, tv, bcounts, tpid, plan.tile, group=PROBE_TILE_GROUP
         )
-    return JoinResult(pk, pv, mv, mc, bcounts)
+    # unscramble probe keys for the output contract (one elementwise pass)
+    inv = jnp.uint32(mod_inverse_u32(plan.factor))
+    return JoinResult(pk * inv, pv, mv, mc, bcounts)
 
 
 def join(

@@ -4,19 +4,20 @@ One grid step = one probe tile (quantum-aligned, so it touches exactly one
 build partition).  The partition's packed table row is selected by a
 scalar-prefetched tile->partition map feeding the BlockSpec index_map --
 Pallas' pipelining prefetches the next tile's row while the current tile
-computes, and consecutive tiles of the same partition skip the re-fetch
-(tile_pid is non-decreasing in the padded layout).
+computes, and consecutive tiles of the same partition re-use the resident
+block (tile_pid is non-decreasing in the padded layout).
 
 Where the reference probe gathers 16 bucket chains at a time and refills
 finished lanes (npj.cpp:249-318), the TPU kernel compares the whole tile
-against the whole partition row as a dense (tile x slots) equality sweep:
-no chains, no lane refill, no atomics.  Match payload extraction is an exact
-u32 select+max (build keys are unique per the workload contract; duplicate
-matches surface through match_cnt and take the expansion path).
+against the whole partition row as a dense (slots x 128) equality sweep per
+probe sub-row: probes live on lanes, table slots on sublanes (the table is
+stored pre-transposed as (P, S, 1)), so both broadcasts are native and no
+vector relayout is ever needed -- Mosaic cannot lower lane<->sublane
+reshapes, which rules out the naive (tile, slots) orientation.
 
-Layouts: probe tiles are (R, 128) blocks (R = tile/128 sublane rows); the
-kernel transposes each tile once into probe-on-sublanes x slots-on-lanes
-space where the equality sweep and the lane reductions are native VPU shapes.
+Match payload extraction is an exact order-preserving biased-i32 max
+(Mosaic has no unsigned reductions); duplicate matches surface through
+match_cnt and take the expansion path (ops/expand.py).
 """
 
 from __future__ import annotations
@@ -28,27 +29,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_BIAS = -(2**31)
+
 
 def _probe_kernel(tile_pid_ref, probe_ref, tkeys_ref, tvals_ref,
                   mval_ref, mcnt_ref):
-    # probe_ref: (1, R, 128); tkeys/tvals_ref: (1, 1, S); outs: (1, R, 128)
+    # probe_ref: (1, R, 128); tkeys/tvals_ref: (1, C, 128) where C = S/128;
+    # outs: (1, R, 128).  HBM arrays keep 128-multiple trailing dims (thin
+    # trailing dims get 128x-padded tiled layouts in HBM); the
+    # slots-on-sublanes orientation is produced by an in-kernel transpose.
     r_rows = probe_ref.shape[1]
-    slots = tkeys_ref.shape[2]
-    tile = r_rows * 128
-    ok = probe_ref[0].reshape(tile, 1)
-    tk = tkeys_ref[0, 0, :].reshape(1, slots)
-    tv = tvals_ref[0, 0, :].reshape(1, slots)
-    eq = (ok == tk) & (ok != 0)  # (tile, S)
-    # Mosaic has no unsigned reductions: bias u32 -> order-preserving i32
-    # (flip the top bit), reduce as i32, unbias.
-    bias = jnp.int32(-(2**31))
-    tv_i = pltpu.bitcast(tv, jnp.int32) ^ bias
-    mx = jnp.max(jnp.where(eq, tv_i, bias), axis=1, keepdims=True)
-    mcnt = jnp.sum(eq.astype(jnp.int32), axis=1, keepdims=True)
-    mval = jnp.where(mcnt > 0, pltpu.bitcast(mx ^ bias, jnp.uint32),
-                     jnp.uint32(0))
-    mval_ref[0] = mval.reshape(r_rows, 128)
-    mcnt_ref[0] = mcnt.reshape(r_rows, 128)
+    chunks = tkeys_ref.shape[1]
+    bias = jnp.int32(_BIAS)
+    tkT = jnp.transpose(tkeys_ref[0], (1, 0))  # (128, C): slots on sublanes
+    tvT = jnp.transpose(
+        pltpu.bitcast(tvals_ref[0], jnp.int32) ^ bias, (1, 0)
+    )
+    for r in range(r_rows):
+        ok = probe_ref[0, r : r + 1, :]  # (1, 128) -- probes on lanes
+        live = ok != 0
+        mx = jnp.full((1, 128), bias, jnp.int32)
+        cnt = jnp.zeros((1, 128), jnp.int32)
+        for c in range(chunks):
+            eq = (tkT[:, c : c + 1] == ok) & live  # (128, 128)
+            mx = jnp.maximum(
+                mx,
+                jnp.max(jnp.where(eq, tvT[:, c : c + 1], bias), axis=0,
+                        keepdims=True),
+            )
+            cnt = cnt + jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True)
+        mval_ref[0, r : r + 1, :] = jnp.where(
+            cnt > 0, pltpu.bitcast(mx ^ bias, jnp.uint32), jnp.uint32(0)
+        )
+        mcnt_ref[0, r : r + 1, :] = cnt
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -65,9 +78,10 @@ def probe_tiles_pallas(
     P, slots = table_keys.shape
     assert tile % 128 == 0 and slots % 128 == 0, (tile, slots)
     r_rows = tile // 128
+    chunks = slots // 128
     probe3d = probe_keys.reshape(n_tiles, r_rows, 128)
-    tk3 = table_keys.reshape(P, 1, slots)
-    tv3 = table_vals.reshape(P, 1, slots)
+    tk3 = table_keys.reshape(P, chunks, 128)
+    tv3 = table_vals.reshape(P, chunks, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -75,9 +89,9 @@ def probe_tiles_pallas(
         in_specs=[
             pl.BlockSpec((1, r_rows, 128), lambda i, tp: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, slots), lambda i, tp: (tp[i], 0, 0),
+            pl.BlockSpec((1, chunks, 128), lambda i, tp: (tp[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, slots), lambda i, tp: (tp[i], 0, 0),
+            pl.BlockSpec((1, chunks, 128), lambda i, tp: (tp[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -84,6 +84,18 @@ def hashed_key(keys: jnp.ndarray, factor) -> jnp.ndarray:
     return keys.astype(jnp.uint32) * jnp.uint32(factor)
 
 
+def mod_inverse_u32(factor: int) -> int:
+    """Inverse of an odd factor mod 2^32: key * factor is a BIJECTION on
+    u32, so the engine can carry scrambled keys through sort/probe and
+    recover originals with one multiply (hk * inverse == key)."""
+    assert factor & 1, "factor must be odd"
+    inv = 1
+    for _ in range(5):  # Newton iteration doubles correct bits: 1->32
+        inv = (inv * (2 - factor * inv)) & 0xFFFFFFFF
+    assert (inv * factor) & 0xFFFFFFFF == 1
+    return inv
+
+
 def radix_bits(hk: jnp.ndarray, hi_bit: int, bits: int) -> jnp.ndarray:
     """Extract `bits` bits of hk ending just below `hi_bit` (from the top).
 
