@@ -45,11 +45,14 @@ def main():
     ok = jax.device_put(jnp.asarray(outer.keys))
     ov = jax.device_put(jnp.asarray(outer.vals))
 
-    def run():
-        res = phj_join(ik, iv, ok, ov, plan)
+    def run(rep: int):
+        # vary payloads per rep: the remote-execution layer memoizes
+        # identical computations; XORing vals forces honest recompute while
+        # keeping keys (and the join cardinality) invariant
+        res = phj_join(ik, iv, ok, ov ^ jnp.uint32(rep), plan)
         return res.join_tuples.block_until_ready()
 
-    got = int(run())  # compile + warm
+    got = int(run(0))  # compile + warm
     want = expected_join_tuples(inner_n, outer_n) % (1 << 32)
     if got != want:
         print(
@@ -66,9 +69,9 @@ def main():
         sys.exit(1)
 
     times = []
-    for _ in range(reps):
+    for rep in range(1, reps + 1):
         t0 = time.perf_counter()
-        run()
+        run(rep)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     tput = outer_n / dt

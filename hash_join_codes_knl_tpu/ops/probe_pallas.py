@@ -64,6 +64,12 @@ def _probe_kernel(tile_pid_ref, probe_ref, tkeys_ref, tvals_ref,
         mcnt_ref[0, r : r + 1, :] = cnt
 
 
+# Tiles per pallas_call: bounds the scalar-prefetch tile->pid map (SMEM is
+# ~1 MB; 32K tiles = 128 KB).  Larger probe sides run the same kernel over
+# equal chunks via lax.map.
+MAX_TILES_PER_CALL = 32768
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def probe_tiles_pallas(
     probe_keys: jnp.ndarray,  # (cap,) padded partition layout
@@ -83,6 +89,36 @@ def probe_tiles_pallas(
     tk3 = table_keys.reshape(P, chunks, 128)
     tv3 = table_vals.reshape(P, chunks, 128)
 
+    if n_tiles > MAX_TILES_PER_CALL:
+        ct = MAX_TILES_PER_CALL
+        n_chunks = -(-n_tiles // ct)
+        pad_tiles = n_chunks * ct - n_tiles
+        if pad_tiles:
+            probe3d = jnp.concatenate(
+                [probe3d, jnp.zeros((pad_tiles, r_rows, 128), jnp.uint32)]
+            )
+            tile_pid = jnp.concatenate(
+                [tile_pid, jnp.zeros(pad_tiles, jnp.int32)]
+            )
+        pc = probe3d.reshape(n_chunks, ct, r_rows, 128)
+        tpc = tile_pid.reshape(n_chunks, ct)
+
+        def one(args):
+            p, tp = args
+            return _probe_call(p, tk3, tv3, tp, r_rows, chunks, interpret)
+
+        mv, mc = jax.lax.map(one, (pc, tpc))
+        mv = mv.reshape(n_chunks * ct, r_rows, 128)[:n_tiles]
+        mc = mc.reshape(n_chunks * ct, r_rows, 128)[:n_tiles]
+        return mv.reshape(cap), mc.reshape(cap)
+
+    mv, mc = _probe_call(probe3d, tk3, tv3, tile_pid, r_rows, chunks,
+                         interpret)
+    return mv.reshape(cap), mc.reshape(cap)
+
+
+def _probe_call(probe3d, tk3, tv3, tile_pid, r_rows, chunks, interpret):
+    n_tiles = probe3d.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -110,4 +146,4 @@ def probe_tiles_pallas(
         ],
         interpret=interpret,
     )(tile_pid, probe3d, tk3, tv3)
-    return mv.reshape(cap), mc.reshape(cap)
+    return mv, mc

@@ -28,30 +28,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.config import JoinPlan, plan_join
 from ..engine.phj import JoinResult, phj_join
-from ..ops.partition import PAD_KEY
+from ..ops.partition import PAD_KEY, build_dense_table_sort_jnp
 from ..utils.hashing import hashed_key
 
 
 def pack_by_owner(keys, vals, owner, n_owners: int, cap: int):
     """Pack tuples into (n_owners, cap) padded buckets; returns
     (bucket_keys, bucket_vals, counts).  counts may exceed cap: that is the
-    overflow signal (tuples beyond cap are dropped from the buckets)."""
-    n = keys.shape[0]
-    counts = jnp.bincount(owner, length=n_owners).astype(jnp.int32)
-    order = jnp.argsort(owner, stable=True)
-    k_s = keys[order]
-    v_s = vals[order]
-    o_s = owner[order]
-    starts = jnp.cumsum(counts, dtype=jnp.int32) - counts
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[o_s]
-    dest = jnp.where(rank < cap, o_s * cap + rank, n_owners * cap)
-    bk = (
-        jnp.full(n_owners * cap, PAD_KEY, jnp.uint32)
-        .at[dest]
-        .set(k_s, mode="drop")
-    )
-    bv = jnp.zeros(n_owners * cap, jnp.uint32).at[dest].set(v_s, mode="drop")
-    return bk.reshape(n_owners, cap), bv.reshape(n_owners, cap), counts
+    overflow signal (tuples beyond cap are dropped from the buckets).
+
+    This is exactly the dense-table pack with slots=cap (one fused sort +
+    gather-free ranks, ops/partition.py)."""
+    bk, bv, counts = build_dense_table_sort_jnp(keys, vals, owner, n_owners,
+                                                cap)
+    return bk, bv, counts
 
 
 def _owner_bits(n_chips: int) -> int:
@@ -67,14 +57,24 @@ def make_cpra_step(
     inner_cap: int,
     outer_cap: int,
     axis: str = "x",
+    skew: bool = False,
+    heavy_k_max: int = 8,
+    heavy_sample: int = 65536,
+    heavy_frac: float = 1 / 256,
+    heavy_build_cap: int = 256,
 ):
     """Build the jitted distributed join step for `mesh`.
 
     inner_cap/outer_cap: per-(src,dst) exchange bucket capacities in tuples.
-    Returns fn(ik, iv, ok, ov) -> (JoinResult per chip, overflow flag), with
-    inputs sharded along `axis` and the result's leaves chip-local (the
-    aligned join output never needs to be gathered).
+    Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, overflow flag): inputs
+    sharded along `axis`, result leaves chip-local (the aligned join output
+    never needs to be gathered).  With skew=True, `heavy` is the local-heavy
+    row set (probe_vals, match_vals, match_cnts aligned to the local probe
+    shard + its keys) produced by heavy-hitter replication (parallel/skew.py);
+    otherwise it is None.
     """
+    from . import skew as skew_ops
+
     n_chips = mesh.shape[axis]
     c_bits = _owner_bits(n_chips)
     # local partitioning consumes the hash bits BELOW the owner bits --
@@ -82,16 +82,40 @@ def make_cpra_step(
     local_plan = dataclasses.replace(plan, skip_bits=plan.skip_bits + c_bits)
 
     def local_step(ik, iv, ok, ov):
+        heavy = None
+        overflow = jnp.zeros((), bool)
+        if skew:
+            nom = skew_ops.nominate_heavy(
+                ok, heavy_sample, heavy_k_max, heavy_frac
+            )
+            heavy_keys = jax.lax.all_gather(nom, axis, tiled=True)
+            i_heavy = skew_ops.is_member(ik, heavy_keys)
+            o_heavy = skew_ops.is_member(ok, heavy_keys)
+            hbk, hbv, hb_cnt = skew_ops.extract_rows(
+                ik, iv, i_heavy, heavy_build_cap
+            )
+            rep_k = jax.lax.all_gather(hbk, axis, tiled=True)
+            rep_v = jax.lax.all_gather(hbv, axis, tiled=True)
+            h_mval, h_mcnt = skew_ops.probe_small_table(ok, rep_k, rep_v)
+            # heavy probes never get a local match unless flagged heavy
+            h_mcnt = jnp.where(o_heavy, h_mcnt, 0)
+            h_mval = jnp.where(o_heavy, h_mval, jnp.uint32(0))
+            heavy = (ok, ov, h_mval, h_mcnt)
+            overflow |= hb_cnt > heavy_build_cap
+            ik = jnp.where(i_heavy, jnp.uint32(0), ik)
+            ok = jnp.where(o_heavy, jnp.uint32(0), ok)
         # owner chip = top bits of the scrambled key
         i_owner = (hashed_key(ik, plan.factor) >> (32 - c_bits)).astype(
             jnp.int32
         )
+        i_owner = jnp.where(ik != 0, i_owner, n_chips)  # drop nulled tuples
         o_owner = (hashed_key(ok, plan.factor) >> (32 - c_bits)).astype(
             jnp.int32
         )
+        o_owner = jnp.where(ok != 0, o_owner, n_chips)
         bik, biv, icnt = pack_by_owner(ik, iv, i_owner, n_chips, inner_cap)
         bok, bov, ocnt = pack_by_owner(ok, ov, o_owner, n_chips, outer_cap)
-        overflow = jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
+        overflow |= jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
         # the re-aggregation memcpy (cpra2.cpp:1896-1904) as one collective
         a2a = functools.partial(
             jax.lax.all_to_all, axis_name=axis, split_axis=0, concat_axis=0,
@@ -101,15 +125,17 @@ def make_cpra_step(
         rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
         res = phj_join(rik, riv, rok, rov, local_plan)
         overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
-        return res, overflow
+        return res, heavy, overflow
 
     spec = P(axis)
+    heavy_spec = (spec, spec, spec, spec) if skew else None
     shard_fn = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(
             JoinResult(spec, spec, spec, spec, spec),
+            heavy_spec,
             P(),
         ),
         check_vma=False,
@@ -126,26 +152,32 @@ def cpra_join(
     plan: JoinPlan | None = None,
     slack: float = 2.0,
     axis: str = "x",
+    skew: bool = False,
+    **skew_kw,
 ):
     """Convenience front end: shard host arrays, run the distributed step.
 
-    slack: exchange capacity multiplier over the uniform expectation
-    (Zipf-skewed owners need headroom; heavy-hitter replication is the
-    round-2 refinement)."""
+    slack: exchange capacity multiplier over the uniform expectation.
+    skew=True enables heavy-hitter replication (parallel/skew.py) and makes
+    the return value (light JoinResult, heavy row set, plan); otherwise
+    (JoinResult, plan)."""
     n_chips = mesh.shape[axis]
     ni, no = len(inner_keys), len(outer_keys)
     if plan is None:
         plan = plan_join(ni // n_chips, no // n_chips)
     inner_cap = max(64, int(ni / (n_chips * n_chips) * slack))
     outer_cap = max(plan.tile, int(no / (n_chips * n_chips) * slack))
-    step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis)
+    step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis,
+                          skew=skew, **skew_kw)
     sh = NamedSharding(mesh, P(axis))
     dev = lambda x: jax.device_put(jnp.asarray(x), sh)
-    res, overflow = step(
+    res, heavy, overflow = step(
         dev(inner_keys), dev(inner_vals), dev(outer_keys), dev(outer_vals)
     )
     if bool(overflow):
         raise RuntimeError(
             "exchange bucket overflow: raise slack or use skew handling"
         )
+    if skew:
+        return res, heavy, plan
     return res, plan

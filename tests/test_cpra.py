@@ -70,3 +70,37 @@ def test_cpra_overflow_detection():
     plan = JoinPlan(p_bits=4, slots=64, tile=128, pass_bits=(4,))
     with pytest.raises(RuntimeError, match="overflow"):
         cpra_join(keys, vals, keys, vals, mesh, plan, slack=1.0)
+
+
+def test_cpra_skew_heavy_hitter_replication():
+    # one key carries ~30% of the probe stream: without skew handling the
+    # owner chip's bucket overflows at slack 1.5; with replication it works
+    rng = np.random.default_rng(11)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    iv = ik * np.uint32(3)
+    hot = ik[7]
+    picks = ik[rng.integers(0, 2048, 32768)]
+    hot_mask = rng.random(32768) < 0.30
+    ok = np.where(hot_mask, hot, picks).astype(np.uint32)
+    ov = ok * np.uint32(5)
+    mesh = jax.make_mesh((8,), ("x",))
+    plan = JoinPlan(p_bits=6, slots=128, tile=256, pass_bits=(6,))
+
+    with pytest.raises(RuntimeError, match="overflow"):
+        cpra_join(ik, iv, ok, ov, mesh, plan, slack=1.5)
+
+    res, heavy, _ = cpra_join(ik, iv, ok, ov, mesh, plan, slack=1.5,
+                              skew=True, heavy_frac=1 / 64)
+    # union of light + heavy rows must equal the oracle
+    lk, lv, lt, lc = (np.asarray(x).reshape(-1) for x in (
+        res.probe_keys, res.probe_vals, res.match_vals, res.match_cnts))
+    hk, hv, ht, hc = (np.asarray(x).reshape(-1) for x in heavy)
+    assert max(lc.max(), hc.max()) <= 1
+    keys = np.concatenate([lk[lc == 1], hk[hc == 1]])
+    vals = np.concatenate([lv[lc == 1], hv[hc == 1]])
+    tabs = np.concatenate([lt[lc == 1], ht[hc == 1]])
+    got = multiset_digest(keys, vals, tabs)
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert got == want
+    # the hot key's rows must have come through the heavy path
+    assert (hk[hc == 1] == hot).sum() == (ok == hot).sum()

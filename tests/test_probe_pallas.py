@@ -38,3 +38,27 @@ def test_probe_pallas_matches_jnp_oracle():
     np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0))
     np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
     assert int(np.asarray(mc1).sum()) > 0
+
+
+def test_probe_pallas_chunked_path(monkeypatch):
+    import hash_join_codes_knl_tpu.ops.probe_pallas as pp
+
+    monkeypatch.setattr(pp, "MAX_TILES_PER_CALL", 8)  # force chunking
+    rng = np.random.default_rng(9)
+    P_BITS, P, S, T = 4, 16, 256, 256
+    ik = rng.integers(1, 5000, 1000, dtype=np.uint32)
+    iv = rng.integers(0, 2**32, 1000, dtype=np.uint32)
+    ok = rng.integers(1, 5000, 8192, dtype=np.uint32)
+    ov = rng.integers(0, 2**32, 8192, dtype=np.uint32)
+    ipid = compute_pids(jnp.asarray(ik), DEFAULT_FACTOR, P_BITS)
+    tk, tv, bc = build_dense_table_jnp(jnp.asarray(ik), jnp.asarray(iv), ipid, P, S)
+    opid = compute_pids(jnp.asarray(ok), DEFAULT_FACTOR, P_BITS)
+    pk, pv, offsets, _ = partition_padded_jnp(
+        jnp.asarray(ok), jnp.asarray(ov), opid, P, T
+    )
+    n_tiles = pk.shape[0] // T
+    tpid = tile_pids(offsets, n_tiles, T)
+    mv0, mc0 = probe_tiles_jnp(pk, tk, tv, bc, tpid, T, group=PROBE_TILE_GROUP)
+    mv1, mc1 = pp.probe_tiles_pallas(pk, tk, tv, tpid, T, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0))
+    np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
