@@ -1,0 +1,76 @@
+"""Multi-host runtime: initialization, meshes, health checks.
+
+The reference is a single process with pthread barriers (npj.cpp:1002-1005);
+its multi-worker story IS the shared-memory model.  The TPU framework scales
+hosts through jax.distributed: every host runs the same SPMD program, the
+mesh spans all chips, collectives ride ICI within a slice and DCN across
+slices.  Failure detection (SURVEY.md section 5) is a liveness barrier: a
+tiny psum across the full mesh with a timeout -- if a host is gone, the
+collective never completes and the caller aborts + relaunches (every stage
+is a pure function of its inputs, so re-running a stage is always safe; the
+on-disk relation files are the coarse checkpoint, relation.py).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def initialize(coordinator: str | None = None, num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the multi-host runtime.  No-op on a single host; on pods,
+    mirrors jax.distributed.initialize (env-driven when args are None)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def data_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    """1-D data mesh over all (or the first n) addressable devices.
+
+    The join engine's only sharded axis is the relation axis: partitioning
+    depth within a chip is handled by the radix plan, across chips by the
+    owner exchange; there is no tensor/pipeline axis in a relational engine
+    (SURVEY.md section 2.5)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh((len(devs),), (axis,), devices=devs)
+
+
+def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x") -> bool:
+    """All-hosts heartbeat: one tiny psum over the mesh with a timeout.
+
+    Returns True if every participant answered within the deadline.  A
+    False return means a chip/host is unreachable; abort the job and rerun
+    the stage (stages are pure; inputs are still on disk/HBM)."""
+    n = mesh.shape[axis]
+
+    def beat(x):
+        return jax.lax.psum(x, axis)
+
+    fn = jax.jit(
+        jax.shard_map(beat, mesh=mesh, in_specs=P(axis), out_specs=P()),
+    )
+    x = jnp.ones(n, jnp.int32)
+    result: list[bool] = []
+
+    def run():
+        try:
+            out = fn(x)
+            result.append(int(np.asarray(out)[0]) == n)
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(result and result[0])
