@@ -24,7 +24,10 @@ class JoinPlan:
     pass_bits: tuple = ()  # per-pass radix bits for the Pallas partitioner
     skip_bits: int = 0  # hash bits already consumed by upstream routing
     partition_impl: str = "sort"  # "sort" (fused lax.sort) | "argsort" (oracle)
-    probe_impl: str = "auto"  # "auto" | "pallas" | "jnp"
+    # probe modes: "merge" (sorted-window probe, flagship; *_pallas/_jnp
+    # forced variants) | "auto"/"pallas"/"jnp" (padded-partition table probe)
+    probe_impl: str = "merge"
+    window: int = 0  # merge-mode probe window in slots (0 = auto estimate)
 
     @property
     def num_partitions(self) -> int:

@@ -74,8 +74,99 @@ class JoinResult:
         return jnp.sum(self.match_cnts.astype(jnp.uint32))
 
 
-@functools.partial(jax.jit, static_argnames=("plan",))
 def phj_join(
+    inner_keys: jnp.ndarray,
+    inner_vals: jnp.ndarray,
+    outer_keys: jnp.ndarray,
+    outer_vals: jnp.ndarray,
+    plan: JoinPlan,
+) -> JoinResult:
+    """Dispatch on the plan's probe mode: 'merge*' runs the sorted-window
+    probe (no table, no padded layout); everything else the padded-partition
+    path."""
+    if plan.probe_impl.startswith("merge"):
+        return phj_join_merge(inner_keys, inner_vals, outer_keys,
+                              outer_vals, plan)
+    return _phj_join_padded(inner_keys, inner_vals, outer_keys, outer_vals,
+                            plan)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def phj_join_merge(
+    inner_keys: jnp.ndarray,
+    inner_vals: jnp.ndarray,
+    outer_keys: jnp.ndarray,
+    outer_vals: jnp.ndarray,
+    plan: JoinPlan,
+) -> JoinResult:
+    """PHJ, merge mode: partition == sort, probe == sorted-window sweep.
+
+    Both relations are fully ordered by the scrambled key after the
+    partitioning sort, so each probe tile's matches lie in one contiguous
+    build window located by prefix sums -- no dense table, no padded
+    scatter (see ops/merge_probe_pallas.py).  build_counts in the result
+    carries ONE value: the number of window-overflow tiles (must be 0; the
+    default window makes overflow probability negligible, and callers
+    re-plan with a larger window otherwise).
+    """
+    from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
+
+    inv = jnp.uint32(mod_inverse_u32(plan.factor))
+    ihk = hashed_key(inner_keys, plan.factor)
+    ohk = hashed_key(outer_keys, plan.factor)
+    ni = ihk.shape[0]
+    no = ohk.shape[0]
+    tile = plan.tile
+    # window sized from the expected build tuples per probe-tile hk range
+    # (plan.window overrides; generous safety factor -- overflow is detected
+    # and reported, never silent)
+    if plan.window:
+        window = plan.window
+    else:
+        lam = tile * ni / max(no, 1)
+        window = int(max(384, lam * 3 + 8 * (lam ** 0.5) + 129))
+    window = -(-window // 128) * 128
+    rows_total = max(-(-ni // 128), window // 128)
+    # null-key pads sort to the front and are masked everywhere
+    ihk_p = jnp.concatenate(
+        [ihk, jnp.zeros(rows_total * 128 - ni, jnp.uint32)]
+    )
+    iv_p = jnp.concatenate(
+        [inner_vals, jnp.zeros(rows_total * 128 - ni, jnp.uint32)]
+    )
+    bhk, bval = jax.lax.sort((ihk_p, iv_p), num_keys=1)
+    cap = -(-no // tile) * tile
+    ohk_p = jnp.concatenate([ohk, jnp.zeros(cap - no, jnp.uint32)])
+    ov_p = jnp.concatenate([outer_vals, jnp.zeros(cap - no, jnp.uint32)])
+    ohk_s, ov_s = jax.lax.sort((ohk_p, ov_p), num_keys=1)
+    n_tiles = cap // tile
+    lo = ohk_s[::tile]
+    hi = ohk_s[tile - 1 :: tile]
+    w_lo = jnp.searchsorted(bhk, lo, side="left").astype(jnp.int32)
+    w_hi = jnp.searchsorted(bhk, hi, side="right").astype(jnp.int32)
+    # skip build-side pads (hk=0 sorts to the front, masked in the compare):
+    # a probe tile straddling the pad/real boundary must anchor its window at
+    # the first real build tuple, not at the pads
+    first_real = jnp.searchsorted(bhk, jnp.uint32(1), side="left").astype(
+        jnp.int32
+    )
+    w_lo = jnp.maximum(w_lo, first_real)
+    wrow = jnp.clip(w_lo // 128, 0, rows_total - window // 128)
+    overflow = jnp.sum((w_hi - wrow * 128 > window).astype(jnp.int32))
+    bhk2 = bhk.reshape(rows_total, 128)
+    bval2 = bval.reshape(rows_total, 128)
+    impl = plan.probe_impl
+    if impl == "merge":
+        impl = "merge_pallas" if _on_tpu() else "merge_jnp"
+    if impl == "merge_pallas":
+        mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
+    else:
+        mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile, window)
+    return JoinResult(ohk_s * inv, ov_s, mv, mc, overflow[None])
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _phj_join_padded(
     inner_keys: jnp.ndarray,
     inner_vals: jnp.ndarray,
     outer_keys: jnp.ndarray,

@@ -1,0 +1,174 @@
+"""Merge-mode probe: sorted-sorted window join (PHJ probe, v2).
+
+Partitioning on TPU is a sort (ops/partition.py), so after it BOTH relations
+are fully ordered by the scrambled key.  That makes the dense per-partition
+table redundant: a probe tile's matches all lie in one contiguous build-side
+window located by prefix sums (searchsorted of tile boundary values), and
+the probe becomes a windowed dense equality sweep.  Compared to the padded-
+partition probe this removes the table-build scatter, the padded-layout
+scatter and its gap bookkeeping -- the two relations go straight from the
+sort to the kernel.
+
+Kernel: probe tiles stream through the normal Pallas pipeline; build windows
+are fetched with MANUAL double-buffered DMAs (window starts are arbitrary
+128-aligned rows, which BlockSpec index maps cannot express) from HBM-
+resident build arrays, using the scalar-prefetched per-tile window row.
+Window coverage is verified OUTSIDE the kernel from the same prefix sums
+(window overflow count returned to the caller; with W >= 3 sublane-chunks
+and Poisson-thin windows the probability is ~0).
+
+Null-key convention: pads on either side carry key 0 -> hk 0, sort to the
+front, and are masked by hk != 0 in the compare.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIAS = -(2**31)
+
+
+def _make_kernel(w_chunks: int, n_tiles: int):
+    def kernel(wrow_ref, probe_ref, bhk_hbm, bval_hbm,
+               mval_ref, mcnt_ref, kbuf, vbuf, sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+
+        def start(slot_idx, tile_idx):
+            row = wrow_ref[tile_idx]
+            pltpu.make_async_copy(
+                bhk_hbm.at[pl.ds(row, w_chunks), :],
+                kbuf.at[slot_idx],
+                sems.at[slot_idx, 0],
+            ).start()
+            pltpu.make_async_copy(
+                bval_hbm.at[pl.ds(row, w_chunks), :],
+                vbuf.at[slot_idx],
+                sems.at[slot_idx, 1],
+            ).start()
+
+        @pl.when(i == 0)
+        def _():
+            start(0, 0)
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            start(1 - slot, i + 1)
+
+        row = wrow_ref[i]
+        pltpu.make_async_copy(
+            bhk_hbm.at[pl.ds(row, w_chunks), :], kbuf.at[slot],
+            sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            bval_hbm.at[pl.ds(row, w_chunks), :], vbuf.at[slot],
+            sems.at[slot, 1],
+        ).wait()
+
+        bias = jnp.int32(_BIAS)
+        # window: (w_chunks, 128) -> slots on sublanes via transpose
+        wkT = jnp.transpose(kbuf[slot], (1, 0))  # (128, w_chunks)
+        wvT = jnp.transpose(
+            pltpu.bitcast(vbuf[slot], jnp.int32) ^ bias, (1, 0)
+        )
+        r_rows = probe_ref.shape[1]
+        for r in range(r_rows):
+            ok = probe_ref[0, r : r + 1, :]  # (1, 128) probes on lanes
+            live = ok != 0
+            mx = jnp.full((1, 128), bias, jnp.int32)
+            cnt = jnp.zeros((1, 128), jnp.int32)
+            for c in range(w_chunks):
+                wk_c = wkT[:, c : c + 1]
+                eq = (wk_c == ok) & live & (wk_c != 0)  # (128, 128)
+                mx = jnp.maximum(
+                    mx,
+                    jnp.max(jnp.where(eq, wvT[:, c : c + 1], bias),
+                            axis=0, keepdims=True),
+                )
+                cnt = cnt + jnp.sum(eq.astype(jnp.int32), axis=0,
+                                    keepdims=True)
+            mval_ref[0, r : r + 1, :] = jnp.where(
+                cnt > 0, pltpu.bitcast(mx ^ bias, jnp.uint32), jnp.uint32(0)
+            )
+            mcnt_ref[0, r : r + 1, :] = cnt
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "window", "interpret"))
+def merge_probe_pallas(
+    probe_hk: jnp.ndarray,  # (N_pad,) fully sorted, pads (hk=0) in front
+    build_hk2d: jnp.ndarray,  # (rows, 128) fully sorted (flattened order)
+    build_val2d: jnp.ndarray,  # (rows, 128)
+    window_row: jnp.ndarray,  # (n_tiles,) int32: first 128-row of the window
+    tile: int,
+    window: int,  # window size in slots, multiple of 128
+    interpret: bool = False,
+):
+    cap = probe_hk.shape[0]
+    n_tiles = cap // tile
+    r_rows = tile // 128
+    w_chunks = window // 128
+    probe3d = probe_hk.reshape(n_tiles, r_rows, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, r_rows, 128), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r_rows, 128), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, 128), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
+            pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    mv, mc = pl.pallas_call(
+        _make_kernel(w_chunks, n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(window_row, probe3d, build_hk2d, build_val2d)
+    return mv.reshape(cap), mc.reshape(cap)
+
+
+def merge_probe_jnp(probe_hk, build_hk2d, build_val2d, window_row, tile,
+                    window):
+    """jnp oracle of the merge probe (scan over tiles, dynamic windows)."""
+    cap = probe_hk.shape[0]
+    n_tiles = cap // tile
+    bflat_k = build_hk2d.reshape(-1)
+    bflat_v = build_val2d.reshape(-1)
+
+    def one(_, t):
+        ok = jax.lax.dynamic_slice(probe_hk, (t * tile,), (tile,))
+        start = window_row[t] * 128
+        wk = jax.lax.dynamic_slice(bflat_k, (start,), (window,))
+        wv = jax.lax.dynamic_slice(bflat_v, (start,), (window,))
+        eq = (ok[:, None] == wk[None, :]) & (ok != 0)[:, None] & (
+            wk != 0
+        )[None, :]
+        mval = jnp.max(jnp.where(eq, wv[None, :], jnp.uint32(0)), axis=1)
+        mcnt = jnp.sum(eq, axis=1).astype(jnp.int32)
+        return _, (mval, mcnt)
+
+    _, (mv, mc) = jax.lax.scan(one, 0, jnp.arange(n_tiles))
+    return mv.reshape(cap), mc.reshape(cap)

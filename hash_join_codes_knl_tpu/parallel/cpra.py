@@ -124,6 +124,13 @@ def make_cpra_step(
         rik, riv = a2a(bik.reshape(-1)), a2a(biv.reshape(-1))
         rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
         res = phj_join(rik, riv, rok, rov, local_plan)
+        # fold in the engine's own overflow signals: merge mode reports
+        # window-overflow tiles in build_counts[0], the padded path reports
+        # per-partition table occupancy
+        if local_plan.probe_impl.startswith("merge"):
+            overflow |= res.build_counts[0] > 0
+        else:
+            overflow |= jnp.any(res.build_counts > local_plan.slots)
         overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
         return res, heavy, overflow
 

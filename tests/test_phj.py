@@ -67,3 +67,23 @@ def test_plan_join_sanity():
     assert sum(plan.pass_bits) == plan.p_bits
     plan_small = plan_join(100, 1000)
     assert plan_small.p_bits >= 1
+
+
+def test_phj_merge_mode_matches_oracle():
+    import dataclasses
+
+    for kw in (
+        dict(inner_tuples=4096, outer_tuples=4096, mode="ref"),
+        dict(inner_tuples=1024, outer_tuples=16384, mode="uniform"),
+        dict(inner_tuples=2048, outer_tuples=16384, mode="uniform", selc=0.5),
+        dict(inner_tuples=1000, outer_tuples=9999, mode="zipf", zipf=1.0),
+    ):
+        inner, outer, _ = generate(seed=41, prefer_native=False, **kw)
+        plan = JoinPlan(p_bits=6, slots=256, tile=256, pass_bits=(6,),
+                        probe_impl="merge")
+        res, _ = join(inner.keys, inner.vals, outer.keys, outer.vals, plan)
+        assert int(np.asarray(res.build_counts)[0]) == 0, "window overflow"
+        k, v, t = materialize(res)
+        want = multiset_digest(*join_oracle(inner.keys, inner.vals,
+                                            outer.keys, outer.vals))
+        assert multiset_digest(k, v, t) == want
