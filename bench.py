@@ -46,13 +46,13 @@ def main():
     ov = jax.device_put(jnp.asarray(outer.vals))
 
     def run(rep: int):
-        # vary payloads per rep: the remote-execution layer memoizes
-        # identical computations; XORing vals forces honest recompute while
-        # keeping keys (and the join cardinality) invariant
+        # vary payloads per rep (the remote-execution layer can memoize
+        # identical computations) and sync via a host scalar transfer --
+        # block_until_ready alone is not a reliable fence on this backend
         res = phj_join(ik, iv, ok, ov ^ jnp.uint32(rep), plan)
-        return res.join_tuples.block_until_ready()
+        return int(res.join_tuples)
 
-    got = int(run(0))  # compile + warm
+    got = run(0)  # compile + warm
     want = expected_join_tuples(inner_n, outer_n) % (1 << 32)
     if got != want:
         print(

@@ -104,15 +104,19 @@ def make_cpra_step(
             overflow |= hb_cnt > heavy_build_cap
             ik = jnp.where(i_heavy, jnp.uint32(0), ik)
             ok = jnp.where(o_heavy, jnp.uint32(0), ok)
-        # owner chip = top bits of the scrambled key
-        i_owner = (hashed_key(ik, plan.factor) >> (32 - c_bits)).astype(
-            jnp.int32
-        )
-        i_owner = jnp.where(ik != 0, i_owner, n_chips)  # drop nulled tuples
-        o_owner = (hashed_key(ok, plan.factor) >> (32 - c_bits)).astype(
-            jnp.int32
-        )
-        o_owner = jnp.where(ok != 0, o_owner, n_chips)
+        # owner chip = top bits of the scrambled key (a shift by 32 is
+        # undefined: the single-chip mesh degenerates to owner 0)
+        def owner_of(keys):
+            if c_bits == 0:
+                own = jnp.zeros(keys.shape, jnp.int32)
+            else:
+                own = (
+                    hashed_key(keys, plan.factor) >> (32 - c_bits)
+                ).astype(jnp.int32)
+            return jnp.where(keys != 0, own, n_chips)  # drop nulled tuples
+
+        i_owner = owner_of(ik)
+        o_owner = owner_of(ok)
         bik, biv, icnt = pack_by_owner(ik, iv, i_owner, n_chips, inner_cap)
         bok, bov, ocnt = pack_by_owner(ok, ov, o_owner, n_chips, outer_cap)
         overflow |= jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)

@@ -104,3 +104,17 @@ def test_cpra_skew_heavy_hitter_replication():
     assert got == want
     # the hot key's rows must have come through the heavy path
     assert (hk[hc == 1] == hot).sum() == (ok == hot).sum()
+
+
+def test_cpra_single_chip_mesh():
+    inner, outer, _ = generate(seed=61, inner_tuples=1024,
+                               outer_tuples=8192, mode="uniform",
+                               prefer_native=False)
+    mesh = jax.make_mesh((1,), ("x",))
+    plan = JoinPlan(p_bits=5, slots=128, tile=128, pass_bits=(5,))
+    res, _ = cpra_join(inner.keys, inner.vals, outer.keys, outer.vals,
+                       mesh, plan, slack=4.0)
+    want = multiset_digest(
+        *join_oracle(inner.keys, inner.vals, outer.keys, outer.vals)
+    )
+    assert _digest_aligned(res) == want

@@ -87,3 +87,32 @@ def test_phj_merge_mode_matches_oracle():
         want = multiset_digest(*join_oracle(inner.keys, inner.vals,
                                             outer.keys, outer.vals))
         assert multiset_digest(k, v, t) == want
+
+
+def test_phj_merge_mode_mn_duplicates_and_expand():
+    # duplicate build keys: merge probe must count multiplicity and the
+    # expansion op must materialize the full M:N rows
+    from hash_join_codes_knl_tpu.ops.expand import expand_join
+
+    rng = np.random.default_rng(6)
+    ik = rng.integers(1, 300, 2000, dtype=np.uint32)  # heavy duplication
+    iv = rng.integers(0, 2**32, 2000, dtype=np.uint32)
+    ok = rng.integers(1, 400, 4096, dtype=np.uint32)
+    ov = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    plan = JoinPlan(p_bits=4, slots=256, tile=256, pass_bits=(4,),
+                    probe_impl="merge", window=4096)
+    res, _ = join(ik, iv, ok, ov, plan)
+    assert int(np.asarray(res.build_counts)[0]) == 0
+    want_rows = join_oracle(ik, iv, ok, ov)
+    assert int(res.join_tuples) == len(want_rows[0])
+    assert int(np.asarray(res.match_cnts).max()) > 1  # real M:N
+    # full materialization through the expansion path
+    import jax.numpy as jnp
+    total, k, v, t = expand_join(
+        jnp.asarray(ik), jnp.asarray(iv), jnp.asarray(ok), jnp.asarray(ov),
+        capacity=len(want_rows[0]) + 128,
+    )
+    assert multiset_digest(
+        np.asarray(k)[: int(total)], np.asarray(v)[: int(total)],
+        np.asarray(t)[: int(total)],
+    ) == multiset_digest(*want_rows)
