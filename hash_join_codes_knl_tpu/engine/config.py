@@ -34,7 +34,7 @@ class JoinPlan:
         return 1 << self.p_bits
 
 
-def plan_join(inner_n: int, outer_n: int, tile: int = 1024) -> JoinPlan:
+def plan_join(inner_n: int, outer_n: int, tile: int = 2048) -> JoinPlan:
     """Pick a plan: build rows ~half full at the chosen fanout, probe
     partitions a small multiple of the tile so padding waste stays low."""
     p_bits = 1

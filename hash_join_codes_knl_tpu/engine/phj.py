@@ -123,8 +123,12 @@ def phj_join_merge(
     if plan.window:
         window = plan.window
     else:
+        # coverage: the window must hold the tile's build-side span
+        # (~Poisson(lam)) plus the 128-slot wrow round-down; 8*sqrt(lam)
+        # puts uniform-key overflow odds below 1e-20 per tile, and overflow
+        # is detected (never silent) for adversarial/duplicate-heavy builds
         lam = tile * ni / max(no, 1)
-        window = int(max(384, lam * 3 + 8 * (lam ** 0.5) + 129))
+        window = int(max(384, lam + 8 * (lam ** 0.5) + 136))
     window = -(-window // 128) * 128
     rows_total = max(-(-ni // 128), window // 128)
     # null-key pads sort to the front and are masked everywhere

@@ -34,6 +34,13 @@ _BIAS = -(2**31)
 
 
 def _make_kernel(w_chunks: int, n_tiles: int):
+    # NOTE on a rejected optimization: both the tile and the window are
+    # sorted, so per-(row, chunk) range-overlap skipping looks attractive
+    # (typically 1 of w_chunks chunks can match).  Measured on v5e it LOSES:
+    # the scalar-core branches (lax.cond / pl.when per chunk) and the
+    # accumulator carries/VMEM round-trips cost more than the skipped
+    # (128,128) compares.  The branchless dense sweep below is faster;
+    # window size (not skipping) is the lever that controls compare work.
     def kernel(wrow_ref, probe_ref, bhk_hbm, bval_hbm,
                mval_ref, mcnt_ref, kbuf, vbuf, sems):
         i = pl.program_id(0)
@@ -79,12 +86,14 @@ def _make_kernel(w_chunks: int, n_tiles: int):
         r_rows = probe_ref.shape[1]
         for r in range(r_rows):
             ok = probe_ref[0, r : r + 1, :]  # (1, 128) probes on lanes
+            # hk=0 pads: build pads never equal a real probe, and probe
+            # pads (ok=0) only match build pads -- `live` alone suffices
             live = ok != 0
             mx = jnp.full((1, 128), bias, jnp.int32)
             cnt = jnp.zeros((1, 128), jnp.int32)
             for c in range(w_chunks):
                 wk_c = wkT[:, c : c + 1]
-                eq = (wk_c == ok) & live & (wk_c != 0)  # (128, 128)
+                eq = (wk_c == ok) & live  # (128, 128)
                 mx = jnp.maximum(
                     mx,
                     jnp.max(jnp.where(eq, wvT[:, c : c + 1], bias),
