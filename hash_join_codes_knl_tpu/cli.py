@@ -7,10 +7,13 @@
 
 Positional argv mirrors the reference mains (npj.cpp:932-935,
 phj.cpp:1962-1965, write.cpp:1680-1686).  <threads> maps to the number of
-mesh devices for cpra (power of two; 1 = single chip) and is accepted-and-
-ignored for the single-chip algorithms; <ratio> (the DDR/MCDRAM placement
-knob, npj.cpp:195) has no analog on a single-HBM-tier chip and is accepted
-for compatibility.  Extra flags: --seed N --dir PATH --json.
+mesh devices for cpra and npj (power of two; 1 = single chip; npj with
+threads > 1 runs the replicated-shared-table mode, parallel/npj_dist.py).
+<ratio> (the DDR/MCDRAM placement knob, npj.cpp:195, phj.cpp:101-116): a
+single chip has one HBM tier, so for single-chip runs it is accepted for
+compatibility; for cpra on a multi-chip mesh it drives the two-level tier
+hash that splits traffic between the two mesh halves (utils/hashing.py
+hash_ratio).  Extra flags: --seed N --dir PATH --json.
 
 write generates ik_/iv_/ok_/ov_<N>.txt; the join drivers load those files
 (falling back to in-memory generation when absent), run the pipeline, verify
@@ -44,13 +47,15 @@ def _load_or_generate(args):
         return inner, outer
 
 
-def _report(alg, timer, outer_n, join_tuples, as_json):
+def _report(alg, timer, outer_n, join_tuples, as_json, roofline=None):
     metrics = timer.metrics(
         algorithm=alg,
         outer_tuples=outer_n,
         join_tuples=join_tuples,
         tuples_per_s=round(outer_n / max(timer.total, 1e-9), 1),
     )
+    if roofline:
+        metrics.update(roofline)
     if as_json:
         print(json.dumps(metrics))
     else:
@@ -70,6 +75,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dir", default=".")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--timelog", action="store_true",
+                   help="per-phase breakdown (TIMELOG analog, hj.h:69-70) "
+                        "+ roofline fractions; phj runs staged jits")
     args = p.parse_args(argv)
 
     if args.algorithm == "write":
@@ -98,18 +106,37 @@ def main(argv=None):
     iv, ok, ov = (jnp.asarray(x) for x in (inner.vals, outer.keys, outer.vals))
 
     if args.algorithm == "npj":
-        from .engine.npj import npj_build, npj_probe, plan_npj
+        if args.threads > 1:
+            import jax
 
-        plan = plan_npj(len(ik))
-        tk, tv, _ = timer.run("build", npj_build, ik, iv, plan)
-        mv, mc = timer.run("probe", npj_probe, tk, tv, ok, plan)
-        join_tuples = int(np.asarray(mc, dtype=np.int64).sum())
+            from .engine.npj import plan_npj
+            from .parallel.distributed import data_mesh
+            from .parallel.npj_dist import npj_join_dist
+
+            n_dev = max(1, min(args.threads, len(jax.devices())))
+            n_dev = 1 << (n_dev.bit_length() - 1)  # floor power of two
+            mesh = data_mesh(n_dev)
+            _, _, join_tuples, _ = timer.run(
+                "build+probe", npj_join_dist, inner.keys, inner.vals,
+                outer.keys, outer.vals, mesh, plan_npj(len(ik)),
+            )
+        else:
+            from .engine.npj import npj_build, npj_probe, plan_npj
+
+            plan = plan_npj(len(ik))
+            tk, tv, _ = timer.run("build", npj_build, ik, iv, plan)
+            mv, mc = timer.run("probe", npj_probe, tk, tv, ok, plan)
+            join_tuples = int(np.asarray(mc, dtype=np.int64).sum())
     elif args.algorithm == "phj":
         from .engine.config import plan_join
-        from .engine.phj import phj_join
+        from .engine.phj import phj_join, phj_join_merge_staged
 
         plan = plan_join(len(ik), len(ok))
-        res = timer.run("partition+build+probe", phj_join, ik, iv, ok, ov, plan)
+        if args.timelog and plan.probe_impl.startswith("merge"):
+            res = phj_join_merge_staged(ik, iv, ok, ov, plan, timer)
+        else:
+            res = timer.run("partition+build+probe", phj_join,
+                            ik, iv, ok, ov, plan)
         join_tuples = int(res.join_tuples)
     else:  # cpra
         import jax
@@ -123,6 +150,7 @@ def main(argv=None):
         res, _ = timer.run(
             "exchange+join", cpra_join, inner.keys, inner.vals,
             outer.keys, outer.vals, mesh,
+            tier_ratio=args.arg4,  # DDR/MCDRAM ratio -> device-group split
         )
         join_tuples = int(np.asarray(res.join_tuples).sum())
 
@@ -131,7 +159,19 @@ def main(argv=None):
         print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
               file=sys.stderr)
         return 1
-    _report(args.algorithm, timer, len(outer.keys), join_tuples, args.json)
+    roofline = None
+    if args.timelog and args.algorithm == "phj":
+        from .engine.config import plan_join
+        from .engine.phj import _merge_params
+        from .utils.roofline import merge_phj_traffic, roofline_report
+
+        plan = plan_join(len(ik), len(ok))
+        tile, window, _, _ = _merge_params(plan, len(ik), len(ok))
+        roofline = roofline_report(
+            timer.phases, merge_phj_traffic(len(ik), len(ok), tile, window)
+        )
+    _report(args.algorithm, timer, len(outer.keys), join_tuples, args.json,
+            roofline)
     return 0
 
 

@@ -91,6 +91,72 @@ def phj_join(
                             plan)
 
 
+def _merge_params(plan: JoinPlan, ni: int, no: int):
+    """Static geometry of the merge pipeline: (tile, window, rows_total,
+    cap).  Window sized from the expected build tuples per probe-tile hk
+    range (plan.window overrides)."""
+    tile = plan.tile
+    if plan.window:
+        window = plan.window
+    else:
+        # coverage: the window must hold the tile's build-side span
+        # (~Poisson(lam)) plus the 128-slot wrow round-down; 8*sqrt(lam)
+        # puts uniform-key overflow odds below 1e-20 per tile, and overflow
+        # is detected (never silent) for adversarial/duplicate-heavy builds
+        lam = tile * ni / max(no, 1)
+        window = int(max(384, lam + 8 * (lam ** 0.5) + 136))
+    window = -(-window // 128) * 128
+    rows_total = max(-(-ni // 128), window // 128)
+    cap = -(-no // tile) * tile
+    return tile, window, rows_total, cap
+
+
+def _merge_sort_side(hk, vals, pad_to):
+    """Hash-order both columns; null-key pads sort to the front and are
+    masked everywhere downstream."""
+    hk_p = jnp.concatenate([hk, jnp.zeros(pad_to - hk.shape[0], jnp.uint32)])
+    v_p = jnp.concatenate(
+        [vals, jnp.zeros(pad_to - vals.shape[0], jnp.uint32)]
+    )
+    return jax.lax.sort((hk_p, v_p), num_keys=1)
+
+
+def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
+    """Per-tile window rows from prefix sums (searchsorted of tile bounds),
+    plus the count of tiles whose span overflows the window."""
+    lo = ohk_s[::tile]
+    hi = ohk_s[tile - 1 :: tile]
+    w_lo = jnp.searchsorted(bhk, lo, side="left").astype(jnp.int32)
+    w_hi = jnp.searchsorted(bhk, hi, side="right").astype(jnp.int32)
+    # skip build-side pads (hk=0 sorts to the front, masked in the compare):
+    # a probe tile straddling the pad/real boundary must anchor its window at
+    # the first real build tuple, not at the pads
+    first_real = jnp.searchsorted(bhk, jnp.uint32(1), side="left").astype(
+        jnp.int32
+    )
+    w_lo = jnp.maximum(w_lo, first_real)
+    wrow = jnp.clip(w_lo // 128, 0, rows_total - window // 128)
+    overflow = jnp.sum((w_hi - wrow * 128 > window).astype(jnp.int32))
+    return wrow, overflow
+
+
+def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
+                 tile: int, window: int, rows_total: int) -> JoinResult:
+    from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
+
+    bhk2 = bhk.reshape(rows_total, 128)
+    bval2 = bval.reshape(rows_total, 128)
+    impl = plan.probe_impl
+    if impl == "merge":
+        impl = "merge_pallas" if _on_tpu() else "merge_jnp"
+    if impl == "merge_pallas":
+        mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
+    else:
+        mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile, window)
+    inv = jnp.uint32(mod_inverse_u32(plan.factor))
+    return JoinResult(ohk_s * inv, ov_s, mv, mc, overflow[None])
+
+
 @functools.partial(jax.jit, static_argnames=("plan",))
 def phj_join_merge(
     inner_keys: jnp.ndarray,
@@ -109,64 +175,48 @@ def phj_join_merge(
     default window makes overflow probability negligible, and callers
     re-plan with a larger window otherwise).
     """
-    from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
+    ni = inner_keys.shape[0]
+    no = outer_keys.shape[0]
+    tile, window, rows_total, cap = _merge_params(plan, ni, no)
+    bhk, bval = _merge_sort_side(
+        hashed_key(inner_keys, plan.factor), inner_vals, rows_total * 128
+    )
+    ohk_s, ov_s = _merge_sort_side(
+        hashed_key(outer_keys, plan.factor), outer_vals, cap
+    )
+    wrow, overflow = _merge_windows(bhk, ohk_s, tile, window, rows_total)
+    return _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan,
+                        tile, window, rows_total)
 
-    inv = jnp.uint32(mod_inverse_u32(plan.factor))
-    ihk = hashed_key(inner_keys, plan.factor)
-    ohk = hashed_key(outer_keys, plan.factor)
-    ni = ihk.shape[0]
-    no = ohk.shape[0]
-    tile = plan.tile
-    # window sized from the expected build tuples per probe-tile hk range
-    # (plan.window overrides; generous safety factor -- overflow is detected
-    # and reported, never silent)
-    if plan.window:
-        window = plan.window
-    else:
-        # coverage: the window must hold the tile's build-side span
-        # (~Poisson(lam)) plus the 128-slot wrow round-down; 8*sqrt(lam)
-        # puts uniform-key overflow odds below 1e-20 per tile, and overflow
-        # is detected (never silent) for adversarial/duplicate-heavy builds
-        lam = tile * ni / max(no, 1)
-        window = int(max(384, lam + 8 * (lam ** 0.5) + 136))
-    window = -(-window // 128) * 128
-    rows_total = max(-(-ni // 128), window // 128)
-    # null-key pads sort to the front and are masked everywhere
-    ihk_p = jnp.concatenate(
-        [ihk, jnp.zeros(rows_total * 128 - ni, jnp.uint32)]
+
+def phj_join_merge_staged(inner_keys, inner_vals, outer_keys, outer_vals,
+                          plan: JoinPlan, timer) -> JoinResult:
+    """The merge pipeline as four separately-jitted, separately-timed
+    stages (partition_build / partition_probe / windows / probe) -- the
+    TIMELOG analog (phj.cpp:1712-1927): phase boundaries land in
+    timer.timeline, per-phase seconds in timer.phases.  Slightly slower
+    than the fused `phj_join_merge` (stage boundaries materialize to HBM,
+    which the fused jit would do anyway for the sort outputs)."""
+    ni, no = len(inner_keys), len(outer_keys)
+    tile, window, rows_total, cap = _merge_params(plan, ni, no)
+    f = plan.factor
+
+    sort_side = jax.jit(
+        lambda k, v, p: _merge_sort_side(hashed_key(k, f), v, p),
+        static_argnums=2,
     )
-    iv_p = jnp.concatenate(
-        [inner_vals, jnp.zeros(rows_total * 128 - ni, jnp.uint32)]
+    windows = jax.jit(
+        lambda b, o: _merge_windows(b, o, tile, window, rows_total)
     )
-    bhk, bval = jax.lax.sort((ihk_p, iv_p), num_keys=1)
-    cap = -(-no // tile) * tile
-    ohk_p = jnp.concatenate([ohk, jnp.zeros(cap - no, jnp.uint32)])
-    ov_p = jnp.concatenate([outer_vals, jnp.zeros(cap - no, jnp.uint32)])
-    ohk_s, ov_s = jax.lax.sort((ohk_p, ov_p), num_keys=1)
-    n_tiles = cap // tile
-    lo = ohk_s[::tile]
-    hi = ohk_s[tile - 1 :: tile]
-    w_lo = jnp.searchsorted(bhk, lo, side="left").astype(jnp.int32)
-    w_hi = jnp.searchsorted(bhk, hi, side="right").astype(jnp.int32)
-    # skip build-side pads (hk=0 sorts to the front, masked in the compare):
-    # a probe tile straddling the pad/real boundary must anchor its window at
-    # the first real build tuple, not at the pads
-    first_real = jnp.searchsorted(bhk, jnp.uint32(1), side="left").astype(
-        jnp.int32
+    probe = jax.jit(
+        lambda *a: _merge_probe(*a, plan, tile, window, rows_total)
     )
-    w_lo = jnp.maximum(w_lo, first_real)
-    wrow = jnp.clip(w_lo // 128, 0, rows_total - window // 128)
-    overflow = jnp.sum((w_hi - wrow * 128 > window).astype(jnp.int32))
-    bhk2 = bhk.reshape(rows_total, 128)
-    bval2 = bval.reshape(rows_total, 128)
-    impl = plan.probe_impl
-    if impl == "merge":
-        impl = "merge_pallas" if _on_tpu() else "merge_jnp"
-    if impl == "merge_pallas":
-        mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
-    else:
-        mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile, window)
-    return JoinResult(ohk_s * inv, ov_s, mv, mc, overflow[None])
+    bhk, bval = timer.run("partition_build", sort_side, inner_keys,
+                          inner_vals, rows_total * 128)
+    ohk_s, ov_s = timer.run("partition_probe", sort_side, outer_keys,
+                            outer_vals, cap)
+    wrow, overflow = timer.run("windows", windows, bhk, ohk_s)
+    return timer.run("probe", probe, bhk, bval, ohk_s, ov_s, wrow, overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))

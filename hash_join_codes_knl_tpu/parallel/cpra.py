@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..engine.config import JoinPlan, plan_join
 from ..engine.phj import JoinResult, phj_join
 from ..ops.partition import PAD_KEY, build_dense_table_sort_jnp
-from ..utils.hashing import hashed_key
+from ..utils.hashing import hash_ratio, hashed_key
 
 
 def pack_by_owner(keys, vals, owner, n_owners: int, cap: int):
@@ -62,10 +62,17 @@ def make_cpra_step(
     heavy_sample: int = 65536,
     heavy_frac: float = 1 / 256,
     heavy_build_cap: int = 256,
+    tier_ratio: float | None = None,
 ):
     """Build the jitted distributed join step for `mesh`.
 
     inner_cap/outer_cap: per-(src,dst) exchange bucket capacities in tuples.
+    tier_ratio: when set (and the mesh has >= 2 chips), tuples are routed
+    with the reference's two-level tier hash (simd_hash_ratio,
+    phj.cpp:101-116): a 100-bin hash splits traffic between the two mesh
+    halves at cut=(1-ratio)*100 -- the DDR/MCDRAM placement knob
+    re-expressed as a device-group placement policy (SURVEY.md K13 row) --
+    then a second hash picks the chip within the half.
     Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, overflow flag): inputs
     sharded along `axis`, result leaves chip-local (the aligned join output
     never needs to be gathered).  With skew=True, `heavy` is the local-heavy
@@ -77,9 +84,13 @@ def make_cpra_step(
 
     n_chips = mesh.shape[axis]
     c_bits = _owner_bits(n_chips)
+    use_tiers = tier_ratio is not None and n_chips >= 2
     # local partitioning consumes the hash bits BELOW the owner bits --
-    # within one owner, the top c_bits are constant and carry no information
-    local_plan = dataclasses.replace(plan, skip_bits=plan.skip_bits + c_bits)
+    # within one owner, the top c_bits are constant and carry no
+    # information.  Tier routing uses independent hashes, so no bits are
+    # consumed and the local plan keeps the full key.
+    skip = plan.skip_bits if use_tiers else plan.skip_bits + c_bits
+    local_plan = dataclasses.replace(plan, skip_bits=skip)
 
     def local_step(ik, iv, ok, ov):
         heavy = None
@@ -107,7 +118,11 @@ def make_cpra_step(
         # owner chip = top bits of the scrambled key (a shift by 32 is
         # undefined: the single-chip mesh degenerates to owner 0)
         def owner_of(keys):
-            if c_bits == 0:
+            if use_tiers:
+                own = hash_ratio(
+                    keys, plan.factor, n_chips, tier_ratio
+                ).astype(jnp.int32)
+            elif c_bits == 0:
                 own = jnp.zeros(keys.shape, jnp.int32)
             else:
                 own = (
@@ -164,6 +179,7 @@ def cpra_join(
     slack: float = 2.0,
     axis: str = "x",
     skew: bool = False,
+    tier_ratio: float | None = None,
     **skew_kw,
 ):
     """Convenience front end: shard host arrays, run the distributed step.
@@ -176,10 +192,15 @@ def cpra_join(
     ni, no = len(inner_keys), len(outer_keys)
     if plan is None:
         plan = plan_join(ni // n_chips, no // n_chips)
-    inner_cap = max(64, int(ni / (n_chips * n_chips) * slack))
-    outer_cap = max(plan.tile, int(no / (n_chips * n_chips) * slack))
+    # with tier routing the heavier half receives max(r, 1-r) of the
+    # traffic spread over n/2 chips -- 2*max(r, 1-r) times uniform
+    bias = 1.0
+    if tier_ratio is not None and n_chips >= 2:
+        bias = 2.0 * max(tier_ratio, 1.0 - tier_ratio)
+    inner_cap = max(64, int(ni / (n_chips * n_chips) * slack * bias))
+    outer_cap = max(plan.tile, int(no / (n_chips * n_chips) * slack * bias))
     step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis,
-                          skew=skew, **skew_kw)
+                          skew=skew, tier_ratio=tier_ratio, **skew_kw)
     sh = NamedSharding(mesh, P(axis))
     dev = lambda x: jax.device_put(jnp.asarray(x), sh)
     res, heavy, overflow = step(

@@ -96,6 +96,24 @@ def mod_inverse_u32(factor: int) -> int:
     return inv
 
 
+def hash_ratio(keys: jnp.ndarray, factor, partitions: int,
+               ratio: float) -> jnp.ndarray:
+    """Device version of np_hash_ratio: the two-level tier+partition hash
+    (simd_hash_ratio, phj.cpp:101-116).
+
+    Tier bin = range-hash over 100 bins vs cut = (1-ratio)*100: bins below
+    the cut route to tier A (partitions [0, P/2), the reference's DDR half),
+    the rest to tier B ([P/2, P), the MCDRAM half).  Partition within the
+    half by a second range hash of the same scrambled key.
+    """
+    cut = jnp.uint32(int((1.0 - ratio) * 100))
+    hk = hashed_key(keys, factor)
+    tier_b = mulhi32(hk, jnp.uint32(100)) >= cut
+    half = partitions // 2
+    pid = mulhi32(hk, jnp.uint32(half))
+    return jnp.where(tier_b, pid + jnp.uint32(half), pid)
+
+
 def radix_bits(hk: jnp.ndarray, hi_bit: int, bits: int) -> jnp.ndarray:
     """Extract `bits` bits of hk ending just below `hi_bit` (from the top).
 

@@ -23,10 +23,26 @@ class PhaseTimer:
         self._t0 = time.perf_counter()
 
     def run(self, name: str, fn, *args, **kw):
-        """Run fn, block until its outputs are ready, record the phase."""
+        """Run fn, block until its outputs are ready, record the phase.
+
+        Sync is a one-element host transfer on top of block_until_ready:
+        on tunneled backends (axon) block_until_ready alone returns before
+        the device is done, which would fold every phase into the last one.
+        """
         t0 = time.perf_counter()
         out = fn(*args, **kw)
         out = jax.block_until_ready(out)
+        probes = []
+        for leaf in jax.tree_util.tree_leaves(out):
+            if not (hasattr(leaf, "ravel") and getattr(leaf, "size", 0)):
+                continue
+            shards = getattr(leaf, "addressable_shards", None)
+            if shards:  # sharded arrays: probe the local shard directly
+                probes.append(shards[0].data.ravel()[:1])
+            else:
+                probes.append(leaf.ravel()[:1])
+        if probes:
+            jax.device_get(probes)
         dt = time.perf_counter() - t0
         self.phases[name] = self.phases.get(name, 0.0) + dt
         self.timeline.append((name, time.perf_counter() - self._t0))
