@@ -31,6 +31,10 @@ class Relation:
     @property
     def checksum(self) -> int:
         """uint64 wraparound sum of keys (write.cpp:1524-1537 semantics)."""
+        from . import native
+
+        if native.relio_available():
+            return native.checksum_u32(self.keys)
         return int(np.sum(self.keys.astype(np.uint64), dtype=np.uint64))
 
 
@@ -39,19 +43,37 @@ def _names(side: str, n: int) -> tuple[str, str]:
     return f"{p}k_{n}.txt", f"{p}v_{n}.txt"
 
 
-def save_relation(rel: Relation, side: str, directory: str) -> tuple[str, str]:
+def save_relation(rel: Relation, side: str, directory: str,
+                  prefer_native: bool = True) -> tuple[str, str]:
+    from . import native
+
     kname, vname = _names(side, len(rel))
     kpath = os.path.join(directory, kname)
     vpath = os.path.join(directory, vname)
-    rel.keys.astype("<u4").tofile(kpath)
-    rel.vals.astype("<u4").tofile(vpath)
+    if prefer_native and native.relio_available():
+        native.write_u32(kpath, rel.keys)
+        native.write_u32(vpath, rel.vals)
+    else:
+        rel.keys.astype("<u4").tofile(kpath)
+        rel.vals.astype("<u4").tofile(vpath)
     return kpath, vpath
 
 
-def load_relation(side: str, n: int, directory: str) -> Relation:
-    kname, vname = _names(side, n)
-    keys = np.fromfile(os.path.join(directory, kname), dtype="<u4", count=n)
-    vals = np.fromfile(os.path.join(directory, vname), dtype="<u4", count=n)
+def load_relation(side: str, n: int, directory: str,
+                  prefer_native: bool = True) -> Relation:
+    from . import native
+
+    kpath = os.path.join(directory, _names(side, n)[0])
+    vpath = os.path.join(directory, _names(side, n)[1])
+    if not (os.path.exists(kpath) and os.path.exists(vpath)):
+        raise FileNotFoundError(f"relation files for {side}/{n} missing")
+    if prefer_native and native.relio_available():
+        try:
+            return Relation(native.read_u32(kpath, n), native.read_u32(vpath, n))
+        except IOError as e:
+            raise ValueError(str(e))
+    keys = np.fromfile(kpath, dtype="<u4", count=n)
+    vals = np.fromfile(vpath, dtype="<u4", count=n)
     if len(keys) != n or len(vals) != n:
         raise ValueError(f"relation files for {side}/{n} are truncated")
     return Relation(keys.astype(np.uint32), vals.astype(np.uint32))
