@@ -189,18 +189,11 @@ def phj_join_merge(
                         tile, window, rows_total)
 
 
-def phj_join_merge_staged(inner_keys, inner_vals, outer_keys, outer_vals,
-                          plan: JoinPlan, timer) -> JoinResult:
-    """The merge pipeline as four separately-jitted, separately-timed
-    stages (partition_build / partition_probe / windows / probe) -- the
-    TIMELOG analog (phj.cpp:1712-1927): phase boundaries land in
-    timer.timeline, per-phase seconds in timer.phases.  Slightly slower
-    than the fused `phj_join_merge` (stage boundaries materialize to HBM,
-    which the fused jit would do anyway for the sort outputs)."""
-    ni, no = len(inner_keys), len(outer_keys)
-    tile, window, rows_total, cap = _merge_params(plan, ni, no)
+@functools.lru_cache(maxsize=32)
+def _staged_fns(plan: JoinPlan, tile: int, window: int, rows_total: int):
+    """Stage jits cached per (plan, geometry) so repeated staged runs
+    don't recompile (fresh jit objects would)."""
     f = plan.factor
-
     sort_side = jax.jit(
         lambda k, v, p: _merge_sort_side(hashed_key(k, f), v, p),
         static_argnums=2,
@@ -211,6 +204,20 @@ def phj_join_merge_staged(inner_keys, inner_vals, outer_keys, outer_vals,
     probe = jax.jit(
         lambda *a: _merge_probe(*a, plan, tile, window, rows_total)
     )
+    return sort_side, windows, probe
+
+
+def phj_join_merge_staged(inner_keys, inner_vals, outer_keys, outer_vals,
+                          plan: JoinPlan, timer) -> JoinResult:
+    """The merge pipeline as four separately-jitted, separately-timed
+    stages (partition_build / partition_probe / windows / probe) -- the
+    TIMELOG analog (phj.cpp:1712-1927): phase boundaries land in
+    timer.timeline, per-phase seconds in timer.phases.  Slightly slower
+    than the fused `phj_join_merge` (stage boundaries materialize to HBM,
+    which the fused jit would do anyway for the sort outputs)."""
+    ni, no = len(inner_keys), len(outer_keys)
+    tile, window, rows_total, cap = _merge_params(plan, ni, no)
+    sort_side, windows, probe = _staged_fns(plan, tile, window, rows_total)
     bhk, bval = timer.run("partition_build", sort_side, inner_keys,
                           inner_vals, rows_total * 128)
     ohk_s, ov_s = timer.run("partition_probe", sort_side, outer_keys,

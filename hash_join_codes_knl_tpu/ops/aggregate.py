@@ -40,3 +40,20 @@ def hash_aggregate(keys: jnp.ndarray, vals: jnp.ndarray):
     gkeys = jnp.full(n, PAD_KEY, jnp.uint32).at[seg].set(k_s, mode="drop")
     n_groups = jnp.sum(newrun.astype(jnp.uint32))
     return n_groups, gkeys, sums, counts
+
+
+def aggregate_join_result(res):
+    """Hash aggregate over a JoinResult (BASELINE config 5: hash aggregate
+    on join output): group matched rows by probe key, summing the matched
+    build values.  Unmatched/padded slots are nulled out and ignored.
+
+    In the distributed CPRA pipeline this runs per chip with NO cross-chip
+    reduction: the owner exchange routes equal keys to one chip, so local
+    group keys are globally disjoint (parallel/cpra.py).
+
+    Requires match counts <= 1 (the aligned output); M:N rows go through
+    ops/expand.py first and aggregate the expanded columns.
+    """
+    matched = res.match_cnts == 1
+    keys = jnp.where(matched, res.probe_keys, jnp.uint32(PAD_KEY))
+    return hash_aggregate(keys, res.match_vals)

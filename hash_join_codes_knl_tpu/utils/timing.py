@@ -36,11 +36,17 @@ class PhaseTimer:
         for leaf in jax.tree_util.tree_leaves(out):
             if not (hasattr(leaf, "ravel") and getattr(leaf, "size", 0)):
                 continue
-            shards = getattr(leaf, "addressable_shards", None)
-            if shards:  # sharded arrays: probe the local shard directly
-                probes.append(shards[0].data.ravel()[:1])
-            else:
+            try:
+                # a 1-element slice depends on the whole buffer; pulling it
+                # to the host is the fence (NOT addressable_shards[].data,
+                # which bypasses the dependency on tunneled backends)
                 probes.append(leaf.ravel()[:1])
+            except Exception:
+                # sharded arrays reject ambiguous gathers; a reduction has
+                # a well-defined replicated sharding
+                import jax.numpy as jnp
+
+                probes.append(jnp.sum(leaf))
         if probes:
             jax.device_get(probes)
         dt = time.perf_counter() - t0

@@ -97,3 +97,77 @@ def test_expand_join_full_mn():
         np.asarray(k)[:total], np.asarray(v)[:total], np.asarray(t)[:total]
     )
     assert got == multiset_digest(*want_rows)
+
+
+def test_aggregate_join_result_single_chip():
+    import collections
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hash_join_codes_knl_tpu.engine.phj import join
+    from hash_join_codes_knl_tpu.ops.aggregate import aggregate_join_result
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+
+    inner, outer, _ = generate(seed=37, inner_tuples=512,
+                               outer_tuples=8192, mode="uniform",
+                               prefer_native=False)
+    res, _ = join(inner.keys, inner.vals, outer.keys, outer.vals)
+    ng, gk, gs, gc = aggregate_join_result(res)
+    gk, gs, gc = np.asarray(gk), np.asarray(gs), np.asarray(gc)
+    # oracle: group (probe key -> sum of matched build vals)
+    want_sum = collections.defaultdict(int)
+    want_cnt = collections.defaultdict(int)
+    bval = dict(zip(inner.keys.tolist(), inner.vals.tolist()))
+    for k in outer.keys.tolist():
+        if k in bval:
+            want_sum[k] = (want_sum[k] + bval[k]) % (1 << 32)
+            want_cnt[k] += 1
+    assert int(ng) == len(want_sum)
+    m = gk != 0
+    got = dict(zip(gk[m].tolist(), gs[m].tolist()))
+    gotc = dict(zip(gk[m].tolist(), gc[m].tolist()))
+    assert got == dict(want_sum)
+    assert gotc == dict(want_cnt)
+
+
+def test_aggregate_join_output_distributed_disjoint_keys():
+    import numpy as np
+
+    import jax
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan
+    from hash_join_codes_knl_tpu.ops.aggregate import aggregate_join_result
+    from hash_join_codes_knl_tpu.parallel.cpra import cpra_join
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+
+    inner, outer, _ = generate(seed=41, inner_tuples=1024,
+                               outer_tuples=8192, mode="uniform",
+                               prefer_native=False)
+    mesh = jax.make_mesh((4,), ("x",))
+    plan = JoinPlan(p_bits=5, slots=128, tile=128, pass_bits=(5,))
+    res, _ = cpra_join(inner.keys, inner.vals, outer.keys, outer.vals,
+                       mesh, plan, slack=4.0)
+    # per-chip aggregation: shard-local group keys must be globally disjoint
+    # because the exchange routed equal keys to one owner
+    import jax.numpy as jnp
+
+    # result leaves are globally concatenated per-chip locals (P("x"))
+    pk = np.asarray(res.probe_keys).reshape(4, -1)
+    mc = np.asarray(res.match_cnts).reshape(4, -1)
+    all_groups = set()
+    for c in range(4):
+        keys_c = set(pk[c][(mc[c] == 1)].tolist())
+        assert not (all_groups & keys_c), "keys span chips"
+        all_groups |= keys_c
+    # and the flat aggregate matches the expected distinct-match count
+    ng, gk, gs, gc = aggregate_join_result(
+        type(res)(
+            jnp.asarray(pk.reshape(-1)),
+            jnp.asarray(np.asarray(res.probe_vals).reshape(-1)),
+            jnp.asarray(np.asarray(res.match_vals).reshape(-1)),
+            jnp.asarray(mc.reshape(-1)),
+            jnp.asarray(np.asarray(res.build_counts).reshape(-1)),
+        )
+    )
+    assert int(ng) == len(all_groups)
