@@ -31,10 +31,12 @@ the zero-masking convention every downstream consumer already applies.
 Overflow (region fill or per-tile run bound exceeded) is detected and
 returned as a value, never silent; callers retry with a larger cap.
 
-Measured note (v5e): the merge-mode engine keeps partition-as-sort for
-the 16Mx256M headline because a full 2^17-way clustering via sort is
-cheaper than three 6-bit histogram+scatter passes at TPU's vector-ALU
-costs; this op is the building block for bounded-fanout partitioning
+Measured (v5e, 256M tuples, 64-way): 493 ms/pass, zero overflow --
+~2.7x faster per pass than the full-depth global sort (1.31 s), but the
+merge-mode engine needs ~2^17-way clustering, and three 6-bit passes
+(~1.5 s) lose to one global sort; the per-pass floor is the batched tile
+sort, which XLA already runs at vector-ALU speed.  So the headline
+keeps partition-as-sort, and this op serves bounded-fanout partitioning
 (CPRA's fixed 4096-way pass, exchange bucketing, spill partitioning).
 """
 
@@ -52,19 +54,27 @@ from jax.experimental.pallas import tpu as pltpu
 def _scatter_kernel(T_rows: int, F: int, mrr: int):
     """Grid step: stage one grouped tile's runs and DMA them to HBM.
 
-    Prefetched scalars: starts/cnt (n_tiles, F) element offsets and run
-    lengths within the sorted tile; dst (n_tiles*F,) destination row or
-    -1 (empty run, skip) / -2 (overflow, flag and skip).
+    Control tables (starts/cnt (n_tiles, F) element offsets and run
+    lengths within the sorted tile; dst (n_tiles, F) destination row or
+    -1 = empty run / -2 = overflow) live in HBM -- at scale they exceed
+    SMEM, so each grid step DMAs its own row into SMEM scratch.
     """
 
-    def kernel(starts_ref, cnt_ref, dst_ref, hk_ref, val_ref, zk_ref,
-               zv_ref, out_hk, out_val, ovf_ref, tkbuf, tvbuf, khbuf, vbuf,
-               sems):
+    def kernel(starts_hbm, cnt_hbm, dst_hbm, hk_ref, val_ref, zk_ref,
+               zv_ref, out_hk, out_val, ovf_ref, s_sm, c_sm, d_sm,
+               tkbuf, tvbuf, khbuf, vbuf, sems, ctl_sems):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             ovf_ref[0] = 0
+
+        cs = pltpu.make_async_copy(starts_hbm.at[i], s_sm, ctl_sems.at[0])
+        cc = pltpu.make_async_copy(cnt_hbm.at[i], c_sm, ctl_sems.at[1])
+        cd = pltpu.make_async_copy(dst_hbm.at[i], d_sm, ctl_sems.at[2])
+        cs.start()
+        cc.start()
+        cd.start()
 
         # copy the tile into a zero-padded scratch so per-run dynamic row
         # slices of mrr+1 rows never run off the end
@@ -72,6 +82,9 @@ def _scatter_kernel(T_rows: int, F: int, mrr: int):
         tvbuf[0:T_rows] = val_ref[0]
         tkbuf[T_rows:] = jnp.zeros((mrr + 1, 128), jnp.uint32)
         tvbuf[T_rows:] = jnp.zeros((mrr + 1, 128), jnp.uint32)
+        cs.wait()
+        cc.wait()
+        cd.wait()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (mrr, 128), 1)
         roff = jax.lax.broadcasted_iota(jnp.int32, (mrr, 128), 0) * 128
@@ -83,8 +96,8 @@ def _scatter_kernel(T_rows: int, F: int, mrr: int):
         # most one vreg on TPU, so the row selection must be a ref slice,
         # not a gather.
         for j in range(F):
-            s = starts_ref[i, j]
-            c = cnt_ref[i, j]
+            s = s_sm[j]
+            c = c_sm[j]
             b0 = s >> 7
             c0 = s & 127
             ks = tkbuf[pl.ds(b0, mrr + 1), :]
@@ -110,7 +123,7 @@ def _scatter_kernel(T_rows: int, F: int, mrr: int):
             )
 
         for j in range(F):
-            dst = dst_ref[i * F + j]
+            dst = d_sm[j]
 
             @pl.when(dst >= 0)
             def _(j=j):
@@ -201,15 +214,26 @@ def radix_partition_pallas(
     dst_rows = fill_rows + jnp.arange(F, dtype=jnp.int32)[None, :] * cap_rows
     bad = (fill_rows + mrr > cap_rows) | (run_rows > mrr)
     dst = jnp.where(cnt == 0, -1, jnp.where(bad, -2, dst_rows))
-    dst = dst.reshape(-1).astype(jnp.int32)
+    dst = dst.astype(jnp.int32)  # (n_tiles, F)
+
+    # control tables DMA to SMEM by row: the minor dim must be 128-aligned
+    Fp = -(-F // 128) * 128
+
+    def padF(x):
+        return jnp.pad(x, ((0, 0), (0, Fp - F)), constant_values=-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, T_rows, 128), lambda i, *_: (i, 0, 0),
+            # control tables stay in HBM (they exceed SMEM at scale);
+            # the kernel DMAs one row per grid step into SMEM scratch
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, T_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_rows, 128), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, T_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -220,11 +244,15 @@ def radix_partition_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
+            pltpu.SMEM((Fp,), jnp.int32),
+            pltpu.SMEM((Fp,), jnp.int32),
+            pltpu.SMEM((Fp,), jnp.int32),
             pltpu.VMEM((T_rows + mrr + 1, 128), jnp.uint32),
             pltpu.VMEM((T_rows + mrr + 1, 128), jnp.uint32),
             pltpu.VMEM((F * mrr, 128), jnp.uint32),
             pltpu.VMEM((F * mrr, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     out_hk, out_val, ovf = pl.pallas_call(
@@ -239,9 +267,9 @@ def radix_partition_pallas(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        starts.astype(jnp.int32),
-        cnt,
-        dst,
+        padF(starts.astype(jnp.int32)),
+        padF(cnt),
+        padF(dst),
         rot2.reshape(n_tiles, T_rows, 128),
         v2.reshape(n_tiles, T_rows, 128),
         jnp.zeros((F * cap_rows, 128), jnp.uint32),

@@ -169,6 +169,111 @@ def make_cpra_step(
     return jax.jit(shard_fn)
 
 
+def make_cpra_step_pipelined(
+    mesh: Mesh,
+    plan: JoinPlan,
+    inner_cap: int,
+    outer_cap: int,
+    chunks: int,
+    axis: str = "x",
+):
+    """Chunked exchange/compute pipeline (BASELINE config 5: exchange
+    overlapped with build/probe).
+
+    The build side is exchanged and hash-ordered ONCE; the probe side is
+    split into `chunks` static chunks, each packed + all_to_all'd +
+    joined against the shared build order.  The chunk loop is UNROLLED in
+    one jit so chunk k+1's exchange has no data dependence on chunk k's
+    probe -- XLA's async-collective scheduler is free to run them
+    concurrently (a lax.scan would serialize them).  Per-chunk results
+    concatenate to the same padded layout as the unchunked step.
+
+    Returns fn(ik, iv, ok, ov) -> (JoinResult, overflow flag).
+    """
+    from ..engine.phj import (
+        JoinResult,
+        _merge_params,
+        _merge_probe,
+        _merge_sort_side,
+        _merge_windows,
+    )
+
+    n_chips = mesh.shape[axis]
+    c_bits = _owner_bits(n_chips)
+    local_plan = dataclasses.replace(
+        plan, skip_bits=plan.skip_bits + c_bits
+    )
+    chunk_cap = -(-outer_cap // chunks)
+
+    def local_step(ik, iv, ok, ov):
+        def owner_of(keys):
+            if c_bits == 0:
+                own = jnp.zeros(keys.shape, jnp.int32)
+            else:
+                own = (
+                    hashed_key(keys, plan.factor) >> (32 - c_bits)
+                ).astype(jnp.int32)
+            return jnp.where(keys != 0, own, n_chips)
+
+        a2a = functools.partial(
+            jax.lax.all_to_all, axis_name=axis, split_axis=0, concat_axis=0,
+            tiled=True,
+        )
+        # build side: exchange + hash-order once
+        bik, biv, icnt = pack_by_owner(ik, iv, owner_of(ik), n_chips,
+                                       inner_cap)
+        overflow = jnp.any(icnt > inner_cap)
+        rik, riv = a2a(bik.reshape(-1)), a2a(biv.reshape(-1))
+        ni = rik.shape[0]
+        no = n_chips * chunk_cap
+        from ..utils.hashing import hashed_key as hk_of
+
+        tile, window, rows_total, cap = _merge_params(local_plan, ni, no)
+        bhk, bval = _merge_sort_side(
+            hk_of(rik, local_plan.factor), riv, rows_total * 128
+        )
+        # probe side: all exchanges are emitted before any probe consumes
+        # them, leaving the scheduler free to overlap
+        o_ch = ok.reshape(chunks, -1)
+        v_ch = ov.reshape(chunks, -1)
+        exchanged = []
+        for c in range(chunks):
+            bok, bov, ocnt = pack_by_owner(
+                o_ch[c], v_ch[c], owner_of(o_ch[c]), n_chips, chunk_cap
+            )
+            overflow |= jnp.any(ocnt > chunk_cap)
+            exchanged.append((a2a(bok.reshape(-1)), a2a(bov.reshape(-1))))
+        parts = []
+        for rok, rov in exchanged:
+            ohk_s, ov_s = _merge_sort_side(
+                hk_of(rok, local_plan.factor), rov, cap
+            )
+            wrow, wovf = _merge_windows(bhk, ohk_s, tile, window, rows_total)
+            parts.append(
+                _merge_probe(bhk, bval, ohk_s, ov_s, wrow, wovf,
+                             local_plan, tile, window, rows_total)
+            )
+        res = JoinResult(
+            *(jnp.concatenate([getattr(p, f) for p in parts])
+              for f in ("probe_keys", "probe_vals", "match_vals",
+                        "match_cnts", "build_counts"))
+        )
+        overflow |= jnp.sum(res.build_counts) > 0
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        return res, overflow
+
+    spec = P(axis)
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(JoinResult(spec, spec, spec, spec, spec), P()),
+            check_vma=False,
+        )
+    )
+
+
 def cpra_join(
     inner_keys,
     inner_vals,
