@@ -285,6 +285,7 @@ def cpra_join(
     axis: str = "x",
     skew: bool = False,
     tier_ratio: float | None = None,
+    retries: int = 2,
     **skew_kw,
 ):
     """Convenience front end: shard host arrays, run the distributed step.
@@ -292,7 +293,12 @@ def cpra_join(
     slack: exchange capacity multiplier over the uniform expectation.
     skew=True enables heavy-hitter replication (parallel/skew.py) and makes
     the return value (light JoinResult, heavy row set, plan); otherwise
-    (JoinResult, plan)."""
+    (JoinResult, plan).
+
+    Overflow (exchange caps or probe windows exceeded, e.g. under
+    unannounced skew) triggers up to `retries` re-plans with doubled
+    slack -- the recursive-split fallback of SURVEY.md section 7 stage 5;
+    persistent overflow raises with a pointer to skew handling."""
     n_chips = mesh.shape[axis]
     ni, no = len(inner_keys), len(outer_keys)
     if plan is None:
@@ -302,19 +308,24 @@ def cpra_join(
     bias = 1.0
     if tier_ratio is not None and n_chips >= 2:
         bias = 2.0 * max(tier_ratio, 1.0 - tier_ratio)
-    inner_cap = max(64, int(ni / (n_chips * n_chips) * slack * bias))
-    outer_cap = max(plan.tile, int(no / (n_chips * n_chips) * slack * bias))
-    step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis,
-                          skew=skew, tier_ratio=tier_ratio, **skew_kw)
     sh = NamedSharding(mesh, P(axis))
     dev = lambda x: jax.device_put(jnp.asarray(x), sh)
-    res, heavy, overflow = step(
-        dev(inner_keys), dev(inner_vals), dev(outer_keys), dev(outer_vals)
-    )
-    if bool(overflow):
-        raise RuntimeError(
-            "exchange bucket overflow: raise slack or use skew handling"
+    args = (dev(inner_keys), dev(inner_vals), dev(outer_keys),
+            dev(outer_vals))
+    for attempt in range(retries + 1):
+        inner_cap = max(64, int(ni / (n_chips * n_chips) * slack * bias))
+        outer_cap = max(
+            plan.tile, int(no / (n_chips * n_chips) * slack * bias)
         )
-    if skew:
-        return res, heavy, plan
-    return res, plan
+        step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis,
+                              skew=skew, tier_ratio=tier_ratio, **skew_kw)
+        res, heavy, overflow = step(*args)
+        if not bool(overflow):
+            if skew:
+                return res, heavy, plan
+            return res, plan
+        slack *= 2.0  # re-plan with doubled capacities
+    raise RuntimeError(
+        "exchange bucket overflow persists after re-planning: "
+        "enable skew=True (heavy-hitter replication) for this workload"
+    )

@@ -1,0 +1,108 @@
+"""Weak-scaling efficiency runs (BASELINE: >=70% at 1 chip -> N).
+
+Scales the CPRA distributed join over 1..N devices with a FIXED per-chip
+workload (weak scaling): on an M-device mesh the relations are M x the
+single-chip sizes, so perfect scaling keeps seconds flat and efficiency =
+t(1) / t(M).
+
+On this dev box there is one real TPU chip, so --cpu runs the harness on
+the virtual 8-device CPU mesh (validates the sharding + the math, not the
+silicon); on a pod slice, run it as-is under `jax.distributed`.
+
+Writes scaling_results.json and prints one line per mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-virtual-device CPU mesh")
+    ap.add_argument("--inner", type=int, default=200_000,
+                    help="per-chip build tuples")
+    ap.add_argument("--outer", type=int, default=1_600_000,
+                    help="per-chip probe tuples")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="scaling_results.json")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hash_join_codes_knl_tpu.engine.config import plan_join
+    from hash_join_codes_knl_tpu.parallel.cpra import make_cpra_step
+    from hash_join_codes_knl_tpu.parallel.distributed import data_mesh
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+
+    n_dev = len(jax.devices())
+    sizes = [m for m in (1, 2, 4, 8, 16, 32) if m <= n_dev]
+    results = {}
+    t1 = None
+    for m in sizes:
+        I, O = args.inner * m, args.outer * m
+        inner, outer, _ = generate(seed=42, inner_tuples=I, outer_tuples=O,
+                                   mode="uniform" if O > I else "ref")
+        mesh = data_mesh(m)
+        plan = plan_join(args.inner, args.outer)
+        inner_cap = max(64, int(4 * I / (m * m)))
+        outer_cap = max(plan.tile, int(4 * O / (m * m)))
+        step = make_cpra_step(mesh, plan, inner_cap, outer_cap)
+        sh = NamedSharding(mesh, P("x"))
+        dev = lambda x: jax.device_put(jnp.asarray(x), sh)
+        ik, iv = dev(inner.keys), dev(inner.vals)
+        ok, ov = dev(outer.keys), dev(outer.vals)
+
+        def run(r):
+            res, _, ovf = step(ik, iv, ok, ov ^ jnp.uint32(r))
+            assert not bool(ovf), "exchange overflow"
+            return int(np.asarray(res.join_tuples).sum())
+
+        jt = run(0)
+        ts = []
+        for r in range(1, args.reps + 1):
+            t0 = time.perf_counter()
+            run(r)
+            ts.append(time.perf_counter() - t0)
+        sec = float(np.median(ts))
+        if t1 is None:
+            t1 = sec
+        eff = t1 / sec
+        results[str(m)] = {
+            "devices": m,
+            "outer_tuples": O,
+            "seconds": round(sec, 4),
+            "rows_per_s": round(O / sec, 1),
+            "weak_scaling_efficiency": round(eff, 4),
+            "join_tuples": jt,
+        }
+        print(f"mesh={m:3d}  {sec:8.4f}s  {O/sec/1e6:8.2f} M rows/s  "
+              f"eff={eff:.2%}", flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,7 @@ def test_cpra_skew_heavy_hitter_replication():
     plan = JoinPlan(p_bits=6, slots=128, tile=256, pass_bits=(6,))
 
     with pytest.raises(RuntimeError, match="overflow"):
-        cpra_join(ik, iv, ok, ov, mesh, plan, slack=1.5)
+        cpra_join(ik, iv, ok, ov, mesh, plan, slack=1.5, retries=0)
 
     res, heavy, _ = cpra_join(ik, iv, ok, ov, mesh, plan, slack=1.5,
                               skew=True, heavy_frac=1 / 64)
@@ -117,4 +117,21 @@ def test_cpra_single_chip_mesh():
     want = multiset_digest(
         *join_oracle(inner.keys, inner.vals, outer.keys, outer.vals)
     )
+    assert _digest_aligned(res) == want
+
+
+def test_cpra_overflow_auto_retry():
+    # mild skew: ~25% of probes hit one key -- overflows slack=1.0 caps,
+    # fits after the automatic re-plan with doubled slack
+    rng = np.random.default_rng(23)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    iv = ik * np.uint32(3)
+    hot = ik[7]
+    ok = ik[rng.integers(0, 2048, 8192)].astype(np.uint32)
+    ok[rng.integers(0, 8192, 2048)] = hot
+    ov = ok * np.uint32(5)
+    mesh = jax.make_mesh((8,), ("x",))
+    plan = JoinPlan(p_bits=4, slots=128, tile=128, pass_bits=(4,))
+    res, _ = cpra_join(ik, iv, ok, ov, mesh, plan, slack=1.0, retries=3)
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
     assert _digest_aligned(res) == want
