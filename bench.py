@@ -76,6 +76,13 @@ def main():
     dt = float(np.median(times))
     tput = outer_n / dt
 
+    # roofline context: minimum HBM traffic any implementation of the full
+    # join must move (read both relations once, write the aligned output
+    # once) vs the chip's peak bandwidth (utils/roofline.py)
+    from hash_join_codes_knl_tpu.utils.roofline import hbm_peak_bytes_per_s
+
+    floor_bytes = 8 * (inner_n + outer_n) + 16 * outer_n
+    pct_floor = 100 * floor_bytes / dt / hbm_peak_bytes_per_s()
     print(
         json.dumps(
             {
@@ -85,6 +92,7 @@ def main():
                 "vs_baseline": round(tput / BASELINE_TUPLES_PER_S, 3),
                 "seconds": round(dt, 4),
                 "join_tuples": got,
+                "pct_hbm_stream_floor": round(pct_floor, 2),
             }
         )
     )

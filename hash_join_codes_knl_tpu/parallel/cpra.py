@@ -324,7 +324,12 @@ def cpra_join(
             if skew:
                 return res, heavy, plan
             return res, plan
-        slack *= 2.0  # re-plan with doubled capacities
+        # re-plan with doubled exchange capacity AND a doubled probe
+        # window (the flag folds both overflow sources together)
+        slack *= 2.0
+        plan = dataclasses.replace(
+            plan, window=2 * (plan.window or 512)
+        )
     raise RuntimeError(
         "exchange bucket overflow persists after re-planning: "
         "enable skew=True (heavy-hitter replication) for this workload"

@@ -88,19 +88,25 @@ def main():
 
     record("phj_uniform", O, _sync_run(run_phj))
 
-    # config 4: PHJ under Zipf outer skew
+    # config 4: PHJ under Zipf outer skew.  Skewed probe tiles span wider
+    # build windows than the uniform-derived auto window; join() re-plans
+    # until overflow-free, and the timed runs use that final plan.
+    from hash_join_codes_knl_tpu.engine.phj import join as phj_auto_join
+
     for z in (0.75, 1.0):
         _, outer_z, _ = generate(seed=43, inner_tuples=I, outer_tuples=O,
                                  mode="zipf", zipf=z)
         okz = jnp.asarray(outer_z.keys)
         ovz = jnp.asarray(outer_z.vals)
+        _, zplan = phj_auto_join(ik, iv, okz, ovz, plan)
 
-        def run_zipf(rep):
-            res = phj_join(ik, iv, okz, ovz ^ jnp.uint32(rep), plan)
+        def run_zipf(rep, zplan=zplan):
+            res = phj_join(ik, iv, okz, ovz ^ jnp.uint32(rep), zplan)
             assert int(np.asarray(res.build_counts)[0]) == 0
             return int(res.join_tuples)
 
-        record(f"phj_zipf_{z}", O, _sync_run(run_zipf))
+        record(f"phj_zipf_{z}", O, _sync_run(run_zipf),
+               {"window": zplan.window or "auto"})
 
     # config 1: NPJ (gather-bound baseline; smaller sizes by design)
     inner_n, outer_n, _ = generate(seed=44, inner_tuples=npj_I,
