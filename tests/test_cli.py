@@ -37,3 +37,26 @@ def test_write_zipf(tmp_path, capsys):
                  "--dir", str(tmp_path)]) == 0
     meta = json.loads(capsys.readouterr().out.strip())
     assert meta["mode"] == "zipf"
+
+
+def test_npj_cli_distributed(capsys):
+    assert main(["npj", "8", "4096", "512", "--seed", "9", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 4096
+
+
+def test_cpra_cli_with_tier_ratio(capsys):
+    assert main(["cpra", "8", "8192", "1024", "0.75", "--seed", "11",
+                 "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 8192
+
+
+def test_phj_cli_timelog(capsys):
+    assert main(["phj", "1", "8192", "1024", "--seed", "13", "--json",
+                 "--timelog"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 8192
+    for key in ("partition_build_s", "partition_probe_s", "windows_s",
+                "probe_s", "hbm_peak_gbps", "pipeline_pct_roofline"):
+        assert key in out, key
