@@ -78,6 +78,9 @@ def main(argv=None):
     p.add_argument("--timelog", action="store_true",
                    help="per-phase breakdown (TIMELOG analog, hj.h:69-70) "
                         "+ roofline fractions; phj runs staged jits")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run to DIR "
+                        "(view with tensorboard/xprof)")
     args = p.parse_args(argv)
 
     if args.algorithm == "write":
@@ -95,10 +98,18 @@ def main(argv=None):
         print(json.dumps({k: v for k, v in meta.items() if k != "factors"}))
         return 0
 
+    import contextlib
+
     import jax.numpy as jnp
 
     from .relation import expected_join_tuples
     from .utils.timing import PhaseTimer
+
+    profiling = contextlib.ExitStack()
+    if args.profile:
+        import jax
+
+        profiling.enter_context(jax.profiler.trace(args.profile))
 
     inner, outer = _load_or_generate(args)
     timer = PhaseTimer()
@@ -154,6 +165,7 @@ def main(argv=None):
         )
         join_tuples = int(np.asarray(res.join_tuples).sum())
 
+    profiling.close()
     expect = expected_join_tuples(len(inner.keys), len(outer.keys))
     if args.outer <= args.inner and join_tuples != expect:
         print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",

@@ -60,3 +60,13 @@ def test_phj_cli_timelog(capsys):
     for key in ("partition_build_s", "partition_probe_s", "windows_s",
                 "probe_s", "hbm_peak_gbps", "pipeline_pct_roofline"):
         assert key in out, key
+
+
+def test_phj_cli_profile(tmp_path, capsys):
+    assert main(["phj", "1", "2048", "512", "--seed", "15", "--json",
+                 "--profile", str(tmp_path / "trace")]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 2048
+    import os
+
+    assert any(os.scandir(tmp_path / "trace")), "no trace written"
