@@ -84,8 +84,8 @@ def _make_kernel(w_chunks: int, n_tiles: int):
             pltpu.bitcast(vbuf[slot], jnp.int32) ^ bias, (1, 0)
         )
         r_rows = probe_ref.shape[1]
-        for r in range(r_rows):
-            ok = probe_ref[0, r : r + 1, :]  # (1, 128) probes on lanes
+
+        def row_result(ok):
             # hk=0 pads: build pads never equal a real probe, and probe
             # pads (ok=0) only match build pads -- `live` alone suffices
             live = ok != 0
@@ -101,10 +101,32 @@ def _make_kernel(w_chunks: int, n_tiles: int):
                 )
                 cnt = cnt + jnp.sum(eq.astype(jnp.int32), axis=0,
                                     keepdims=True)
-            mval_ref[0, r : r + 1, :] = jnp.where(
+            mv = jnp.where(
                 cnt > 0, pltpu.bitcast(mx ^ bias, jnp.uint32), jnp.uint32(0)
             )
-            mcnt_ref[0, r : r + 1, :] = cnt
+            return mv, cnt
+
+        # heavy-hitter fast path: a tile whose probes are all one key
+        # (sorted Zipf runs produce thousands of such tiles) needs only
+        # one row's sweep, broadcast to every row
+        const_tile = jnp.logical_and(
+            probe_ref[0, 0, 0] == probe_ref[0, r_rows - 1, 127],
+            probe_ref[0, 0, 0] != 0,
+        )
+
+        @pl.when(const_tile)
+        def _():
+            mv, cnt = row_result(probe_ref[0, 0:1, :])
+            for r in range(r_rows):
+                mval_ref[0, r : r + 1, :] = mv
+                mcnt_ref[0, r : r + 1, :] = cnt
+
+        @pl.when(jnp.logical_not(const_tile))
+        def _():
+            for r in range(r_rows):
+                mv, cnt = row_result(probe_ref[0, r : r + 1, :])
+                mval_ref[0, r : r + 1, :] = mv
+                mcnt_ref[0, r : r + 1, :] = cnt
 
     return kernel
 

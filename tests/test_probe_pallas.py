@@ -62,3 +62,36 @@ def test_probe_pallas_chunked_path(monkeypatch):
     mv1, mc1 = pp.probe_tiles_pallas(pk, tk, tv, tpid, T, interpret=True)
     np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0))
     np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
+
+
+def test_merge_probe_constant_key_tiles():
+    """Heavy-hitter runs: tiles of one repeated key hit the broadcast
+    fast path and must agree with the jnp oracle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan
+    from hash_join_codes_knl_tpu.engine.phj import materialize, phj_join
+    from hash_join_codes_knl_tpu.engine.oracle import (
+        join_oracle,
+        multiset_digest,
+    )
+
+    rng = np.random.default_rng(3)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    iv = ik * np.uint32(3)
+    hot = ik[42]
+    ok = ik[rng.integers(0, 2048, 16384)].astype(np.uint32)
+    ok[: 16384 // 2] = hot  # half the probe stream is one key
+    ov = rng.integers(0, 2**32, 16384, dtype=np.uint32)
+    plan = JoinPlan(p_bits=6, slots=256, tile=512, pass_bits=(6,),
+                    probe_impl="merge_pallas", window=512)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        res = phj_join(jnp.asarray(ik), jnp.asarray(iv), jnp.asarray(ok),
+                       jnp.asarray(ov), plan)
+    assert int(np.asarray(res.build_counts)[0]) == 0
+    got = multiset_digest(*materialize(res))
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert got == want
