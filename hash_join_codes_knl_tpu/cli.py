@@ -81,6 +81,11 @@ def main(argv=None):
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the run to DIR "
                         "(view with tensorboard/xprof)")
+    p.add_argument("--config", metavar="FILE", default=None,
+                   help="JSON file of JoinPlan fields (p_bits, slots, "
+                        "tile, window, pass_bits, partition_impl, "
+                        "probe_impl, factor) -- the runtime form of the "
+                        "reference's compile-time -D knobs (makefile:1-4)")
     args = p.parse_args(argv)
 
     if args.algorithm == "write":
@@ -143,6 +148,14 @@ def main(argv=None):
         from .engine.phj import phj_join, phj_join_merge_staged
 
         plan = plan_join(len(ik), len(ok))
+        if args.config:
+            import dataclasses
+
+            with open(args.config) as f:
+                overrides = json.load(f)
+            if "pass_bits" in overrides:
+                overrides["pass_bits"] = tuple(overrides["pass_bits"])
+            plan = dataclasses.replace(plan, **overrides)
         if args.timelog and plan.probe_impl.startswith("merge"):
             res = phj_join_merge_staged(ik, iv, ok, ov, plan, timer)
         else:

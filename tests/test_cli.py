@@ -70,3 +70,13 @@ def test_phj_cli_profile(tmp_path, capsys):
     import os
 
     assert any(os.scandir(tmp_path / "trace")), "no trace written"
+
+
+def test_phj_cli_config_file(tmp_path, capsys):
+    cfg = tmp_path / "plan.json"
+    cfg.write_text(json.dumps({"tile": 256, "window": 384,
+                               "probe_impl": "merge_jnp"}))
+    assert main(["phj", "1", "4096", "1024", "--seed", "17", "--json",
+                 "--config", str(cfg)]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 4096
