@@ -12,7 +12,9 @@ sort to the kernel.
 Kernel: probe tiles stream through the normal Pallas pipeline; build windows
 are fetched with MANUAL double-buffered DMAs (window starts are arbitrary
 128-aligned rows, which BlockSpec index maps cannot express) from HBM-
-resident build arrays, using the scalar-prefetched per-tile window row.
+resident build arrays.  The per-tile window rows live in HBM and are
+staged into SMEM 128 tiles at a time (a scalar-prefetch operand would cap
+n_tiles at SMEM size).
 Window coverage is verified OUTSIDE the kernel from the same prefix sums
 (window overflow count returned to the caller; with W >= 3 sublane-chunks
 and Poisson-thin windows the probability is ~0).
@@ -41,13 +43,33 @@ def _make_kernel(w_chunks: int, n_tiles: int):
     # accumulator carries/VMEM round-trips cost more than the skipped
     # (128,128) compares.  The branchless dense sweep below is faster;
     # window size (not skipping) is the lever that controls compare work.
-    def kernel(wrow_ref, probe_ref, bhk_hbm, bval_hbm,
-               mval_ref, mcnt_ref, kbuf, vbuf, sems):
+    def kernel(wrow_hbm, probe_ref, bhk_hbm, bval_hbm,
+               mval_ref, mcnt_ref, kbuf, vbuf, wbuf, sems, wsems):
+        # window rows live in HBM as (n_chunks, 128) -- scalar-prefetch
+        # would put the whole (n_tiles,) array in SMEM, which overflows at
+        # large tile counts.  Every 128 tiles the kernel DMAs the current
+        # and next chunk into SMEM double buffers, so wrow[i] and
+        # wrow[i+1] are always scalar-readable.
         i = pl.program_id(0)
         slot = jax.lax.rem(i, 2)
+        c = i // 128
+        last_chunk = (n_tiles - 1) // 128
 
-        def start(slot_idx, tile_idx):
-            row = wrow_ref[tile_idx]
+        @pl.when(jax.lax.rem(i, 128) == 0)
+        def _():
+            c1 = jnp.minimum(c + 1, last_chunk)
+            d0 = pltpu.make_async_copy(
+                wrow_hbm.at[c], wbuf.at[jax.lax.rem(c, 2)], wsems.at[0]
+            )
+            d1 = pltpu.make_async_copy(
+                wrow_hbm.at[c1], wbuf.at[jax.lax.rem(c + 1, 2)], wsems.at[1]
+            )
+            d0.start()
+            d1.start()
+            d0.wait()
+            d1.wait()
+
+        def start(slot_idx, row):
             pltpu.make_async_copy(
                 bhk_hbm.at[pl.ds(row, w_chunks), :],
                 kbuf.at[slot_idx],
@@ -59,15 +81,19 @@ def _make_kernel(w_chunks: int, n_tiles: int):
                 sems.at[slot_idx, 1],
             ).start()
 
+        row = wbuf[jax.lax.rem(c, 2), jax.lax.rem(i, 128)]
+
         @pl.when(i == 0)
         def _():
-            start(0, 0)
+            start(0, row)
 
         @pl.when(i + 1 < n_tiles)
         def _():
-            start(1 - slot, i + 1)
+            row_next = wbuf[
+                jax.lax.rem((i + 1) // 128, 2), jax.lax.rem(i + 1, 128)
+            ]
+            start(1 - slot, row_next)
 
-        row = wrow_ref[i]
         pltpu.make_async_copy(
             bhk_hbm.at[pl.ds(row, w_chunks), :], kbuf.at[slot],
             sems.at[slot, 0],
@@ -147,26 +173,35 @@ def merge_probe_pallas(
     r_rows = tile // 128
     w_chunks = window // 128
     probe3d = probe_hk.reshape(n_tiles, r_rows, 128)
+    # window rows as (n_chunks, 128) HBM rows (see kernel comment)
+    n_chunks = -(-n_tiles // 128)
+    wrow2 = jnp.concatenate(
+        [window_row.astype(jnp.int32),
+         jnp.zeros(n_chunks * 128 - n_tiles, jnp.int32)]
+    ).reshape(n_chunks, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, r_rows, 128), lambda i, w: (i, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, r_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, r_rows, 128), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((1, r_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_rows, 128), lambda i, w: (i, 0, 0),
+            pl.BlockSpec((1, r_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
             pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
+            pltpu.SMEM((2, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     mv, mc = pl.pallas_call(
@@ -177,7 +212,7 @@ def merge_probe_pallas(
             jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(window_row, probe3d, build_hk2d, build_val2d)
+    )(wrow2, probe3d, build_hk2d, build_val2d)
     return mv.reshape(cap), mc.reshape(cap)
 
 
