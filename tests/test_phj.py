@@ -116,3 +116,26 @@ def test_phj_merge_mode_mn_duplicates_and_expand():
         np.asarray(k)[: int(total)], np.asarray(v)[: int(total)],
         np.asarray(t)[: int(total)],
     ) == multiset_digest(*want_rows)
+
+
+def test_join_replans_window_on_duplicate_heavy_build():
+    """A build side with a single key repeated thousands of times makes
+    every probe of that key span far more build slots than the uniform
+    window; join() must detect the counted overflow and re-plan rather
+    than return short counts."""
+    rng = np.random.default_rng(53)
+    base = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:1024]
+    hot = base[0]
+    ik = np.concatenate([base, np.full(3000, hot, np.uint32)])
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    ok = base[rng.integers(0, 1024, 8192)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 8192, dtype=np.uint32)
+    plan = JoinPlan(p_bits=4, slots=4096, tile=256, pass_bits=(4,),
+                    window=384)
+    res, final_plan = join(ik, iv, ok, ov, plan)
+    assert final_plan.window > 384  # re-planning happened
+    assert int(np.asarray(res.build_counts)[0]) == 0
+    # counts: each hot probe matches 3001 build rows
+    mc = np.asarray(res.match_cnts)
+    want_total = sum(3001 if k == hot else 1 for k in ok.tolist())
+    assert int(mc.sum()) == want_total
