@@ -112,14 +112,15 @@ def _make_kernel(w_chunks: int, n_tiles: int):
         r_rows = probe_ref.shape[1]
 
         def row_result(ok):
-            # hk=0 pads: build pads never equal a real probe, and probe
-            # pads (ok=0) only match build pads -- `live` alone suffices
-            live = ok != 0
+            # hk=0 pads: a real probe never equals a build pad (0) and a
+            # pad probe (0) only equals build pads, so the inner compare
+            # needs no mask -- spurious pad-pad matches are zeroed once
+            # per row at the end instead of masking every (128,128) block
             mx = jnp.full((1, 128), bias, jnp.int32)
             cnt = jnp.zeros((1, 128), jnp.int32)
             for c in range(w_chunks):
                 wk_c = wkT[:, c : c + 1]
-                eq = (wk_c == ok) & live  # (128, 128)
+                eq = wk_c == ok  # (128, 128)
                 mx = jnp.maximum(
                     mx,
                     jnp.max(jnp.where(eq, wvT[:, c : c + 1], bias),
@@ -127,8 +128,11 @@ def _make_kernel(w_chunks: int, n_tiles: int):
                 )
                 cnt = cnt + jnp.sum(eq.astype(jnp.int32), axis=0,
                                     keepdims=True)
+            live = ok != 0
+            cnt = jnp.where(live, cnt, 0)
             mv = jnp.where(
-                cnt > 0, pltpu.bitcast(mx ^ bias, jnp.uint32), jnp.uint32(0)
+                (cnt > 0) & live, pltpu.bitcast(mx ^ bias, jnp.uint32),
+                jnp.uint32(0),
             )
             return mv, cnt
 

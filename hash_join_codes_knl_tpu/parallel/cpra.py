@@ -303,6 +303,18 @@ def cpra_join(
     ni, no = len(inner_keys), len(outer_keys)
     if plan is None:
         plan = plan_join(ni // n_chips, no // n_chips)
+    if n_chips == 1 and not skew:
+        # degenerate mesh: the owner exchange is the identity -- skip the
+        # bucket pack entirely (its static caps would 3x the memory)
+        res = phj_join(
+            jnp.asarray(inner_keys), jnp.asarray(inner_vals),
+            jnp.asarray(outer_keys), jnp.asarray(outer_vals), plan,
+        )
+        if plan.probe_impl.startswith("merge") and int(
+            res.build_counts[0]
+        ) > 0:
+            raise RuntimeError("probe window overflow on single chip")
+        return res, plan
     # with tier routing the heavier half receives max(r, 1-r) of the
     # traffic spread over n/2 chips -- 2*max(r, 1-r) times uniform
     bias = 1.0

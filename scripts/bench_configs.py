@@ -125,7 +125,9 @@ def main():
     record("npj_uniform", npj_O, _sync_run(run_npj),
            {"note": f"{npj_I}x{npj_O}: gather-bound no-partition baseline"})
 
-    # config 3: CPRA on the local mesh
+    # config 3: CPRA on the local mesh (free the NPJ/zipf device arrays
+    # first -- the full-size exchange needs the HBM headroom)
+    del ik, iv, ok, ov, okz, ovz, nik, niv, nok
     n_dev = len(jax.devices())
     n_dev = 1 << (n_dev.bit_length() - 1)
     mesh = jax.make_mesh((n_dev,), ("x",))
