@@ -45,6 +45,10 @@ class NpjPlan:
     margin: int = 4096  # non-wrapping overflow slots past the end
     factor: int = DEFAULT_FACTOR
     max_chain: int = 1 << 20  # safety bound on probe chain walk
+    # _UNIQUE mode (npj.cpp:954-956,288-290): build keys are known
+    # distinct, so a probe lane retires at its first match instead of
+    # walking to the end of the cluster
+    unique: bool = False
 
 
 def plan_npj(inner_n: int, load: float = 0.5) -> NpjPlan:
@@ -99,6 +103,8 @@ def npj_probe(table_keys, table_vals, probe_keys, plan: NpjPlan):
         mval = jnp.where(eq, jnp.maximum(mval, tv), mval)
         mcnt = mcnt + eq.astype(jnp.int32)
         active = active & (tk != PAD_KEY) & (h0 + off + 1 < size)
+        if plan.unique:
+            active = active & jnp.logical_not(eq)  # first match retires
         return off + 1, active, mval, mcnt
 
     _, _, mval, mcnt = jax.lax.while_loop(

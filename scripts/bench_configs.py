@@ -125,6 +125,21 @@ def main():
     record("npj_uniform", npj_O, _sync_run(run_npj),
            {"note": f"{npj_I}x{npj_O}: gather-bound no-partition baseline"})
 
+    # _UNIQUE mode ablation (npj.cpp:954-956): distinct build keys let
+    # probe lanes retire at first match
+    import dataclasses as _dc
+
+    uplan = _dc.replace(nplan, unique=True)
+
+    def run_npj_unique(rep):
+        tk, tv, _ = npj_build(nik, niv ^ jnp.uint32(rep), uplan)
+        mv, mc = npj_probe(tk, tv, nok, uplan)
+        got = int(jnp.sum(mc.astype(jnp.uint32)))
+        assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32)
+        return got
+
+    record("npj_unique", npj_O, _sync_run(run_npj_unique))
+
     # config 3: CPRA on the local mesh (free the NPJ/zipf device arrays
     # first -- the full-size exchange needs the HBM headroom)
     del ik, iv, ok, ov, okz, ovz, nik, niv, nok

@@ -58,3 +58,21 @@ def test_npj_duplicate_build_keys_counted():
     mv, mc, _ = npj_join(ik, iv, ok, ok)
     np.testing.assert_array_equal(np.asarray(mc), [2, 1, 0])
     assert int(np.asarray(mv)[0]) == 2  # max of matched vals
+
+
+def test_npj_unique_mode_matches_default():
+    """_UNIQUE analog (npj.cpp:954-956): with distinct build keys, early
+    lane retirement must not change any result."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(61)
+    ik = np.unique(rng.integers(1, 2**32, 5000, dtype=np.uint32))[:4096]
+    iv = ik * np.uint32(3)
+    ok = ik[rng.integers(0, 4096, 16384)].astype(np.uint32)
+    mv0, mc0, plan = npj_join(ik, iv, ok, ok)
+    plan_u = dataclasses.replace(plan, unique=True)
+    mv1, mc1, _ = npj_join(ik, iv, ok, ok, plan_u)
+    np.testing.assert_array_equal(np.asarray(mv0), np.asarray(mv1))
+    np.testing.assert_array_equal(np.asarray(mc0), np.asarray(mc1))
