@@ -323,16 +323,51 @@ def join(
 def materialize(res: JoinResult) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Compact matched rows to (keys, vals, tabs) host arrays.
 
-    Requires match counts <= 1 (unique build keys); M:N expansion is a
-    separate op.  Host-side compaction: the aligned device result is the
-    deliverable, this is the close_gaps-equivalent final packing.
+    Requires match counts <= 1 (unique build keys); for duplicate-key
+    builds use materialize_expanded.  Host-side compaction: the aligned
+    device result is the deliverable, this is the close_gaps-equivalent
+    final packing.
     """
     mc = np.asarray(res.match_cnts)
     if mc.max(initial=0) > 1:
-        raise ValueError("multi-match rows present; use the expansion path")
+        raise ValueError(
+            "multi-match rows present; use materialize_expanded"
+        )
     m = mc == 1
     return (
         np.asarray(res.probe_keys)[m],
         np.asarray(res.probe_vals)[m],
         np.asarray(res.match_vals)[m],
+    )
+
+
+def materialize_expanded(res: JoinResult, inner_keys, inner_vals):
+    """Full M:N materialization: every (probe row, matching build row)
+    pair, for builds with duplicate keys.
+
+    The aligned result carries per-probe match COUNTS (exact even for
+    M:N); the cross-product rows are produced by the expansion op
+    (ops/expand.py) over the matched probe rows vs the build relation,
+    with capacity = the exact total from the counts.  Returns (keys,
+    vals, tabs) host arrays of exactly sum(match_cnts) rows.
+    """
+    from ..ops.expand import expand_join
+
+    mc = np.asarray(res.match_cnts)
+    total = int(mc.astype(np.int64).sum())
+    if total == 0:
+        e = np.zeros(0, np.uint32)
+        return e, e.copy(), e.copy()
+    m = mc > 0
+    pk = jnp.asarray(np.asarray(res.probe_keys)[m])
+    pv = jnp.asarray(np.asarray(res.probe_vals)[m])
+    cap = -(-total // 128) * 128
+    got, out_k, out_v, out_t = expand_join(
+        jnp.asarray(inner_keys), jnp.asarray(inner_vals), pk, pv, cap
+    )
+    assert int(got) == total, (int(got), total)
+    return (
+        np.asarray(out_k)[:total],
+        np.asarray(out_v)[:total],
+        np.asarray(out_t)[:total],
     )

@@ -139,3 +139,22 @@ def test_join_replans_window_on_duplicate_heavy_build():
     mc = np.asarray(res.match_cnts)
     want_total = sum(3001 if k == hot else 1 for k in ok.tolist())
     assert int(mc.sum()) == want_total
+
+
+def test_materialize_expanded_mn_join():
+    """Duplicate-key build: full cross-product rows via the expansion
+    path must match the oracle multiset."""
+    rng = np.random.default_rng(71)
+    base = np.unique(rng.integers(1, 2**32, 800, dtype=np.uint32))[:512]
+    # each key appears 1-4 times in the build side
+    reps = rng.integers(1, 5, 512)
+    ik = np.repeat(base, reps).astype(np.uint32)
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    ok = base[rng.integers(0, 512, 4096)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    res, _ = join(ik, iv, ok, ov)
+    from hash_join_codes_knl_tpu.engine.phj import materialize_expanded
+
+    k, v, t = materialize_expanded(res, ik, iv)
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert multiset_digest(k, v, t) == want
