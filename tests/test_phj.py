@@ -158,3 +158,29 @@ def test_materialize_expanded_mn_join():
     k, v, t = materialize_expanded(res, ik, iv)
     want = multiset_digest(*join_oracle(ik, iv, ok, ov))
     assert multiset_digest(k, v, t) == want
+
+
+@pytest.mark.parametrize("ni,no", [(1, 1), (1, 5000), (3, 17), (130, 2)])
+def test_tiny_relations(ni, no):
+    """Degenerate sizes must survive padding/window geometry."""
+    rng = np.random.default_rng(ni * 1000 + no)
+    ik = np.unique(rng.integers(1, 2**32, ni + 10, dtype=np.uint32))[:ni]
+    iv = ik * np.uint32(7)
+    ok = ik[rng.integers(0, ni, no)].astype(np.uint32)
+    ov = ok * np.uint32(13)
+    res, _ = join(ik, iv, ok, ov)
+    assert int(res.join_tuples) == no
+    k, v, t = materialize(res)
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert multiset_digest(k, v, t) == want
+
+
+def test_no_matches_at_all():
+    ik = np.arange(2, 1026, dtype=np.uint32) * 2  # even keys
+    iv = ik.copy()
+    ok = np.arange(1, 4097, dtype=np.uint32) * 2 + 1  # odd keys
+    ov = ok.copy()
+    res, _ = join(ik, iv, ok, ov)
+    assert int(res.join_tuples) == 0
+    k, v, t = materialize(res)
+    assert len(k) == 0
