@@ -274,6 +274,85 @@ def make_cpra_step_pipelined(
     )
 
 
+def make_cpra_step_2level(
+    mesh: Mesh,
+    plan: JoinPlan,
+    inner_cap: int,
+    outer_cap: int,
+    host_axis: str = "h",
+    chip_axis: str = "c",
+):
+    """Two-level exchange for multi-host pods: hash bits route first to a
+    HOST (one all_to_all over the host axis -- the DCN hop, paid once),
+    then to a CHIP within the host (one all_to_all over the chip axis --
+    the ICI hop).  This is the reference's two-level placement
+    (simd_hash_ratio routes tier-then-partition, phj.cpp:101-116)
+    re-expressed as the per-host/per-chip partition map of SURVEY.md
+    section 2.5; a flat exchange over H*C workers would instead push
+    every misrouted tuple across DCN twice.
+
+    inner_cap/outer_cap: per-(src,dst) bucket capacities used at BOTH
+    levels.  Returns fn(ik, iv, ok, ov) sharded over (host, chip) ->
+    (JoinResult, overflow flag).
+    """
+    H = mesh.shape[host_axis]
+    C = mesh.shape[chip_axis]
+    h_bits = _owner_bits(H)
+    c_bits = _owner_bits(C)
+    local_plan = dataclasses.replace(
+        plan, skip_bits=plan.skip_bits + h_bits + c_bits
+    )
+
+    def local_step(ik, iv, ok, ov):
+        overflow = jnp.zeros((), bool)
+
+        def exchange(keys, vals, axis, n, bits, shift, cap):
+            nonlocal overflow
+            if bits == 0:
+                return keys, vals
+            own = (
+                (hashed_key(keys, plan.factor) << jnp.uint32(shift))
+                >> (32 - bits)
+            ).astype(jnp.int32)
+            own = jnp.where(keys != 0, own, n)
+            bk, bv, cnt = pack_by_owner(keys, vals, own, n, cap)
+            overflow |= jnp.any(cnt > cap)
+            a2a = functools.partial(
+                jax.lax.all_to_all, axis_name=axis, split_axis=0,
+                concat_axis=0, tiled=True,
+            )
+            return a2a(bk.reshape(-1)), a2a(bv.reshape(-1))
+
+        # level 1: route by the top h_bits over DCN
+        ik, iv = exchange(ik, iv, host_axis, H, h_bits, 0, inner_cap)
+        ok, ov = exchange(ok, ov, host_axis, H, h_bits, 0, outer_cap)
+        # level 2: route by the next c_bits over ICI
+        ik, iv = exchange(ik, iv, chip_axis, C, c_bits, h_bits, inner_cap)
+        ok, ov = exchange(ok, ov, chip_axis, C, c_bits, h_bits, outer_cap)
+        res = phj_join(ik, iv, ok, ov, local_plan)
+        if local_plan.probe_impl.startswith("merge"):
+            overflow |= res.build_counts[0] > 0
+        overflow = (
+            jax.lax.psum(
+                jax.lax.psum(overflow.astype(jnp.int32), chip_axis),
+                host_axis,
+            )
+            > 0
+        )
+        return res, overflow
+
+    spec = P((host_axis, chip_axis))
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(JoinResult(spec, spec, spec, spec, spec), P()),
+            check_vma=False,
+        )
+    )
+
+
 def cpra_join(
     inner_keys,
     inner_vals,
