@@ -34,6 +34,36 @@ class JoinPlan:
         return 1 << self.p_bits
 
 
+def reference_pass_plan(local_tuples: int,
+                        hash_table_limit: int = 6400) -> tuple:
+    """The reference's exact multi-pass policy (phj.cpp:1791-1808):
+    partitions = local_tuples / hash_table_limit; passes by thresholds
+    {10, 400, 20000, 1e6}; per-pass fanout = partitions^(1/passes) with
+    the LAST pass absorbing the integer-rounding remainder.  Returned as
+    a tuple of per-pass fanouts (empty when partitions <= 10 -- the
+    reference then relies on the shared inter-thread pass).
+
+    Kept for parity/planning comparisons; the engine's own plans derive
+    pass bits from VMEM tile geometry instead (plan_join)."""
+    partitions = local_tuples // hash_table_limit
+    if partitions > 1_000_000:
+        passes = 4
+    elif partitions > 20_000:
+        passes = 3
+    elif partitions > 400:
+        passes = 2
+    elif partitions > 10:
+        passes = 1
+    else:
+        return ()
+    fanout = [int(partitions ** (1.0 / passes))] * passes
+    product = 1
+    for f in fanout[:-1]:
+        product *= f
+    fanout[-1] = partitions // product
+    return tuple(fanout)
+
+
 def plan_join(inner_n: int, outer_n: int, tile: int = 2048) -> JoinPlan:
     """Pick a plan: build rows ~half full at the chosen fanout, probe
     partitions a small multiple of the tile so padding waste stays low."""
