@@ -137,3 +137,39 @@ def test_file_round_trip(tmp_path):
     # round-trip identity
     p1, _ = save_relation(inner, "inner", str(tmp_path))
     assert load_relation("inner", 512, str(tmp_path)).checksum == inner.checksum
+
+
+def test_generator_golden_vectors_frozen():
+    """Frozen golden constants: guards the MT19937-stream semantics
+    against regressions that would shift Python and native TOGETHER
+    (they are verified equal elsewhere; this pins the absolute values
+    captured from the verified implementation)."""
+    inner, outer, meta = generate(
+        seed=42, inner_tuples=4096, outer_tuples=4096, mode="ref",
+        prefer_native=False,
+    )
+    assert inner.keys[:8].tolist() == [
+        3065920749, 3043103484, 1729936665, 627365393,
+        2264324399, 1608677553, 223721403, 3337803667,
+    ]
+    assert outer.keys[:8].tolist() == [
+        3477346791, 3159957838, 1961624197, 1406788673,
+        603506800, 1402892958, 1037002616, 2565343508,
+    ]
+    assert inner.vals[:4].tolist() == [
+        1153834185, 2564896716, 228168709, 2278726301,
+    ]
+    assert meta["inner_checksum"] == 8777780613555
+    assert meta["outer_checksum"] == 8778538822738
+
+
+def test_generator_golden_zipf_frozen():
+    _, outer, meta = generate(
+        seed=42, inner_tuples=1024, outer_tuples=8192, mode="zipf",
+        zipf=1.0, prefer_native=False,
+    )
+    assert outer.keys[:8].tolist() == [
+        3076722846, 1839119423, 2061454137, 2481512044,
+        2061454137, 2374502568, 110703502, 2374502568,
+    ]
+    assert meta["outer_checksum"] == 18200858471115
