@@ -81,6 +81,10 @@ def main(argv=None):
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the run to DIR "
                         "(view with tensorboard/xprof)")
+    p.add_argument("--chunks", type=int, default=0,
+                   help="cpra: split the probe side into N chunks and "
+                        "pipeline exchange with probe compute "
+                        "(make_cpra_step_pipelined)")
     p.add_argument("--config", metavar="FILE", default=None,
                    help="JSON file of JoinPlan fields (p_bits, slots, "
                         "tile, window, pass_bits, partition_impl, "
@@ -171,11 +175,35 @@ def main(argv=None):
         n_dev = min(args.threads, len(jax.devices()))
         n_dev = max(1, 1 << (n_dev.bit_length() - 1))  # floor power of two
         mesh = jax.make_mesh((n_dev,), ("x",))
-        res, _ = timer.run(
-            "exchange+join", cpra_join, inner.keys, inner.vals,
-            outer.keys, outer.vals, mesh,
-            tier_ratio=args.arg4,  # DDR/MCDRAM ratio -> device-group split
-        )
+        if args.chunks > 1 and n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .engine.config import plan_join
+            from .parallel.cpra import make_cpra_step_pipelined
+
+            plan = plan_join(len(ik) // n_dev, len(ok) // n_dev)
+            step = make_cpra_step_pipelined(
+                mesh, plan,
+                inner_cap=max(64, 4 * len(ik) // (n_dev * n_dev)),
+                outer_cap=max(plan.tile * args.chunks,
+                              4 * len(ok) // (n_dev * n_dev)),
+                chunks=args.chunks,
+            )
+            sh = NamedSharding(mesh, PartitionSpec("x"))
+            dev = lambda x: jax.device_put(np.asarray(x), sh)
+            res, ovf = timer.run(
+                "pipelined exchange+join", step,
+                dev(inner.keys), dev(inner.vals),
+                dev(outer.keys), dev(outer.vals),
+            )
+            if bool(ovf):
+                print("OVERFLOW: raise caps/chunks", file=sys.stderr)
+                return 1
+        else:
+            res, _ = timer.run(
+                "exchange+join", cpra_join, inner.keys, inner.vals,
+                outer.keys, outer.vals, mesh,
+                tier_ratio=args.arg4,  # DDR/MCDRAM ratio -> group split
+            )
         join_tuples = int(np.asarray(res.join_tuples).sum())
 
     profiling.close()

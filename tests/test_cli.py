@@ -80,3 +80,10 @@ def test_phj_cli_config_file(tmp_path, capsys):
                  "--config", str(cfg)]) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["join_tuples"] == 4096
+
+
+def test_cpra_cli_pipelined_chunks(capsys):
+    assert main(["cpra", "8", "16384", "2048", "--seed", "19", "--json",
+                 "--chunks", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 16384
