@@ -1,0 +1,60 @@
+"""Randomized differential campaign: random workloads x random plans vs
+the golden oracle.  Catches corner interactions (pad boundaries, window
+edges, partition occupancy extremes) that targeted tests miss.  Seeds
+are fixed -- failures are reproducible by case index.
+"""
+
+import numpy as np
+import pytest
+
+from hash_join_codes_knl_tpu.engine.config import JoinPlan
+from hash_join_codes_knl_tpu.engine.oracle import join_oracle, multiset_digest
+from hash_join_codes_knl_tpu.engine.phj import (
+    join,
+    materialize,
+    materialize_expanded,
+)
+
+
+def _case(seed):
+    rng = np.random.default_rng(seed)
+    ni = int(rng.integers(1, 5000))
+    no = int(rng.integers(1, 20000))
+    # build keys: sometimes unique, sometimes with duplicates
+    pool = np.unique(rng.integers(1, 2**32, ni + 64, dtype=np.uint32))
+    if rng.random() < 0.5:
+        ik = pool[:ni]
+    else:
+        ik = pool[rng.integers(0, max(1, len(pool) // 2), ni)].astype(
+            np.uint32
+        )
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    # probes: mix of hits and misses, sometimes heavily skewed
+    hits = ik[rng.integers(0, len(ik), no)]
+    misses = rng.integers(1, 2**32, no, dtype=np.uint32)
+    take_hit = rng.random(no) < rng.random()
+    ok = np.where(take_hit, hits, misses).astype(np.uint32)
+    if rng.random() < 0.3 and len(ik):
+        ok[: no // 3] = ik[0]  # heavy hitter
+    ov = rng.integers(0, 2**32, no, dtype=np.uint32)
+    # random-but-valid plan geometry
+    tile = int(rng.choice([128, 256, 512, 1024, 2048]))
+    window = int(rng.choice([0, 384, 512]))
+    p_bits = int(rng.integers(2, 8))
+    plan = JoinPlan(p_bits=p_bits, slots=4096, tile=tile,
+                    pass_bits=(p_bits,), window=window)
+    return ik, iv, ok, ov, plan
+
+
+@pytest.mark.parametrize("seed", range(101, 121))
+def test_fuzz_join_vs_oracle(seed):
+    ik, iv, ok, ov, plan = _case(seed)
+    res, _ = join(ik, iv, ok, ov, plan)
+    want_rows = join_oracle(ik, iv, ok, ov)
+    assert int(res.join_tuples) == len(want_rows[0])
+    mc = np.asarray(res.match_cnts)
+    if mc.max(initial=0) <= 1:
+        got = multiset_digest(*materialize(res))
+    else:
+        got = multiset_digest(*materialize_expanded(res, ik, iv))
+    assert got == multiset_digest(*want_rows)
