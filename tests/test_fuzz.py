@@ -58,3 +58,34 @@ def test_fuzz_join_vs_oracle(seed):
     else:
         got = multiset_digest(*materialize_expanded(res, ik, iv))
     assert got == multiset_digest(*want_rows)
+
+
+@pytest.mark.parametrize("seed", range(301, 306))
+def test_fuzz_cpra_vs_oracle(seed):
+    import jax
+
+    from hash_join_codes_knl_tpu.parallel.cpra import cpra_join
+
+    rng = np.random.default_rng(seed)
+    ik, iv, ok, ov, plan = _case(seed)
+    n_chips = int(rng.choice([2, 4, 8]))
+    mesh = jax.make_mesh((n_chips,), ("x",))
+    # shard-divisible lengths
+    ik = ik[: len(ik) // n_chips * n_chips]
+    iv = iv[: len(ik)]
+    ok = ok[: len(ok) // n_chips * n_chips]
+    ov = ov[: len(ok)]
+    if len(ik) == 0 or len(ok) == 0:
+        pytest.skip("degenerate after shard rounding")
+    res, _ = cpra_join(ik, iv, ok, ov, mesh, plan, slack=4.0, retries=3)
+    want_rows = join_oracle(ik, iv, ok, ov)
+    assert int(np.asarray(res.join_tuples).sum()) == len(want_rows[0])
+    mc = np.asarray(res.match_cnts).reshape(-1)
+    if mc.max(initial=0) <= 1:
+        m = mc == 1
+        got = multiset_digest(
+            np.asarray(res.probe_keys).reshape(-1)[m],
+            np.asarray(res.probe_vals).reshape(-1)[m],
+            np.asarray(res.match_vals).reshape(-1)[m],
+        )
+        assert got == multiset_digest(*want_rows)
