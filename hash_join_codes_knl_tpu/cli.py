@@ -214,11 +214,11 @@ def main(argv=None):
         return 1
     roofline = None
     if args.timelog and args.algorithm == "phj":
-        from .engine.config import plan_join
         from .engine.phj import _merge_params
         from .utils.roofline import merge_phj_traffic, roofline_report
 
-        plan = plan_join(len(ik), len(ok))
+        # `plan` is the one the join actually ran with (--config overrides
+        # applied), so the per-phase roofline uses the real geometry
         tile, window, _, _ = _merge_params(plan, len(ik), len(ok))
         roofline = roofline_report(
             timer.phases, merge_phj_traffic(len(ik), len(ok), tile, window)

@@ -52,8 +52,17 @@ def aggregate_join_result(res):
     group keys are globally disjoint (parallel/cpra.py).
 
     Requires match counts <= 1 (the aligned output); M:N rows go through
-    ops/expand.py first and aggregate the expanded columns.
+    ops/expand.py first and aggregate the expanded columns.  Like
+    materialize(), this REFUSES duplicate-key builds instead of silently
+    under-counting them (host-side check; res leaves must be concrete).
     """
+    import numpy as np
+
+    if (np.asarray(res.match_cnts) > 1).any():
+        raise ValueError(
+            "multi-match rows present; expand via ops/expand.py "
+            "(materialize_expanded) and aggregate the expanded columns"
+        )
     matched = res.match_cnts == 1
     keys = jnp.where(matched, res.probe_keys, jnp.uint32(PAD_KEY))
     return hash_aggregate(keys, res.match_vals)

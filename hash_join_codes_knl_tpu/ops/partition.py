@@ -10,8 +10,10 @@ no global atomics, and SPMD + prefix sums make the layout fully deterministic.
 Two implementations per operator:
   * `*_jnp`: pure jnp (argsort/scatter based).  Correctness oracle and CPU
     fallback, analogous to the reference's `-D_NO_VECTOR` scalar kernels (K5).
-  * Pallas kernels live in ops/partition_pallas.py (multi-pass, VMEM
-    write-combining buffers), wired through the same API.
+  * the Pallas histogram+scatter pass lives in ops/radix_partition_pallas.py
+    (VMEM write-combining buffers, dynamic-offset DMAs); it wins only for
+    bounded fanouts -- the fused-sort forms below beat it for full
+    partitioning on TPU (PERF_NOTES.md "Why partition-as-sort").
 
 Layout produced for the probe side ("padded partition layout"):
   out[offsets[p] : offsets[p] + counts[p]]    = tuples of partition p

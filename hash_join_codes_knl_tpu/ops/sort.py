@@ -2,10 +2,11 @@
 
 The reference's multi-pass radix machinery is partitioning-only (phj/cpra
 never fully sort); BASELINE.json asks for radix sort/partition as a
-standalone op.  On TPU, full key sort is XLA's fused variadic sort (payload
-columns ride along); the partition-only form is ops/partition.py.  The
-Pallas radix pipeline will slot in here as `impl="pallas"` when it lands
-(ops/partition_pallas.py).
+standalone op.  On TPU, full key sort IS XLA's fused variadic sort (payload
+columns ride along) -- every multi-pass radix alternative was measured or
+modeled slower (PERF_NOTES.md "Why partition-as-sort").  The partition-only
+forms are ops/partition.py (fused-sort) and ops/radix_partition_pallas.py
+(the Pallas histogram+scatter pass, for bounded fanouts).
 """
 
 from __future__ import annotations

@@ -87,8 +87,10 @@ def make_cpra_step(
     use_tiers = tier_ratio is not None and n_chips >= 2
     # local partitioning consumes the hash bits BELOW the owner bits --
     # within one owner, the top c_bits are constant and carry no
-    # information.  Tier routing uses independent hashes, so no bits are
-    # consumed and the local plan keeps the full key.
+    # information.  Tier routing hashes with an independent second factor
+    # (hash_ratio/factor2, matching the reference's factors_2), so the
+    # factor-1 scramble the local join partitions on keeps full entropy
+    # and no bits are skipped.
     skip = plan.skip_bits if use_tiers else plan.skip_bits + c_bits
     local_plan = dataclasses.replace(plan, skip_bits=skip)
 
@@ -332,6 +334,11 @@ def make_cpra_step_2level(
         res = phj_join(ik, iv, ok, ov, local_plan)
         if local_plan.probe_impl.startswith("merge"):
             overflow |= res.build_counts[0] > 0
+        else:
+            # padded path: a build partition past `slots` drops tuples --
+            # that must surface as overflow here exactly as in
+            # make_cpra_step (overflows are values, never silent)
+            overflow |= jnp.any(res.build_counts > local_plan.slots)
         overflow = (
             jax.lax.psum(
                 jax.lax.psum(overflow.astype(jnp.int32), chip_axis),

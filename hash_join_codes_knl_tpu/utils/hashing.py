@@ -20,6 +20,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+# second-level hash factor for the tier/partition split (odd, independent of
+# any odd `factor` a caller passes); the reference draws factors_2 randomly
+# per run (phj.cpp:2134-2139) -- any odd constant distinct from factor works
+DEFAULT_FACTOR2 = 0xC2B2AE3D
+
 # --- numpy (host oracle) ------------------------------------------------------
 
 
@@ -30,19 +35,27 @@ def np_range_hash(keys: np.ndarray, factor: int, nbins: int) -> np.ndarray:
 
 
 def np_hash_ratio(
-    keys: np.ndarray, factor: int, partitions: int, ratio: float
+    keys: np.ndarray, factor: int, partitions: int, ratio: float,
+    factor2: int | None = None,
 ) -> np.ndarray:
     """Two-level tier+partition hash (phj.cpp:101-116).
 
     Tier bin = range_hash(k*factor, 100) vs cut = (1-ratio)*100; partition id
-    within the tier half = range_hash(k*factor, partitions/2), offset by
-    partitions/2 for the second tier.
+    within the tier half = range_hash(k*factor2, partitions/2), offset by
+    partitions/2 for the second tier.  The two levels hash with INDEPENDENT
+    factors, as the reference does (simd_hash_ratio's factors_1/factors_2,
+    phj.cpp:101-123): deriving both from one scramble makes tier and pid
+    monotone functions of each other, which concentrates all traffic on the
+    edge chips of each half and idles the rest.
     """
+    if factor2 is None:
+        factor2 = DEFAULT_FACTOR2
     cut = np.uint32(int((1.0 - ratio) * 100))
     hk = (keys.astype(np.uint32) * np.uint32(factor)).astype(np.uint64)
+    hk2 = (keys.astype(np.uint32) * np.uint32(factor2)).astype(np.uint64)
     tier = ((hk * np.uint64(100)) >> np.uint64(32)).astype(np.uint32) >= cut
     half = partitions // 2
-    pid = ((hk * np.uint64(half)) >> np.uint64(32)).astype(np.uint32)
+    pid = ((hk2 * np.uint64(half)) >> np.uint64(32)).astype(np.uint32)
     return np.where(tier, pid + np.uint32(half), pid)
 
 
@@ -97,20 +110,24 @@ def mod_inverse_u32(factor: int) -> int:
 
 
 def hash_ratio(keys: jnp.ndarray, factor, partitions: int,
-               ratio: float) -> jnp.ndarray:
+               ratio: float, factor2: int | None = None) -> jnp.ndarray:
     """Device version of np_hash_ratio: the two-level tier+partition hash
     (simd_hash_ratio, phj.cpp:101-116).
 
     Tier bin = range-hash over 100 bins vs cut = (1-ratio)*100: bins below
     the cut route to tier A (partitions [0, P/2), the reference's DDR half),
     the rest to tier B ([P/2, P), the MCDRAM half).  Partition within the
-    half by a second range hash of the same scrambled key.
+    half by a range hash of an INDEPENDENT second scramble (factors_2 in
+    the reference) -- see np_hash_ratio for why one scramble cannot feed
+    both levels.
     """
+    if factor2 is None:
+        factor2 = DEFAULT_FACTOR2
     cut = jnp.uint32(int((1.0 - ratio) * 100))
     hk = hashed_key(keys, factor)
     tier_b = mulhi32(hk, jnp.uint32(100)) >= cut
     half = partitions // 2
-    pid = mulhi32(hk, jnp.uint32(half))
+    pid = mulhi32(hashed_key(keys, factor2), jnp.uint32(half))
     return jnp.where(tier_b, pid + jnp.uint32(half), pid)
 
 

@@ -46,3 +46,25 @@ def test_two_level_exchange_matches_oracle():
         ks = set(pk[s][mc2[s] == 1].tolist())
         assert not (seen & ks)
         seen |= ks
+
+
+def test_two_level_padded_overflow_detected():
+    """A padded-plan 2-level run whose build partitions exceed `slots`
+    must raise the overflow flag (overflows are values, never silent) --
+    mirrors the occupancy check of make_cpra_step."""
+    H, C = 2, 4
+    inner, outer, _ = generate(
+        seed=61, inner_tuples=2048, outer_tuples=4096,
+        mode="uniform", prefer_native=False,
+    )
+    mesh = jax.make_mesh((H, C), ("h", "c"))
+    # slots=1 guarantees occupancy overflow on 2048 build tuples / 4 parts
+    plan = JoinPlan(p_bits=2, slots=1, tile=128, pass_bits=(2,),
+                    probe_impl="jnp")
+    step = make_cpra_step_2level(mesh, plan, inner_cap=2048, outer_cap=4096)
+    sh = NamedSharding(mesh, P(("h", "c")))
+    dev = lambda x: jax.device_put(np.asarray(x), sh)
+    _, overflow = step(
+        dev(inner.keys), dev(inner.vals), dev(outer.keys), dev(outer.vals)
+    )
+    assert bool(overflow)

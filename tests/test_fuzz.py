@@ -88,4 +88,17 @@ def test_fuzz_cpra_vs_oracle(seed):
             np.asarray(res.probe_vals).reshape(-1)[m],
             np.asarray(res.match_vals).reshape(-1)[m],
         )
-        assert got == multiset_digest(*want_rows)
+    else:
+        # M:N distributed digest: flatten the sharded result and expand
+        # the full cross-product via materialize_expanded (the expansion
+        # re-derives matched build rows from the global build relation,
+        # so shard placement is irrelevant)
+        from hash_join_codes_knl_tpu.engine.phj import JoinResult
+
+        flat = JoinResult(
+            *(np.asarray(getattr(res, f)).reshape(-1)
+              for f in ("probe_keys", "probe_vals", "match_vals",
+                        "match_cnts", "build_counts"))
+        )
+        got = multiset_digest(*materialize_expanded(flat, ik, iv))
+    assert got == multiset_digest(*want_rows)

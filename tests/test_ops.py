@@ -171,3 +171,22 @@ def test_aggregate_join_output_distributed_disjoint_keys():
         )
     )
     assert int(ng) == len(all_groups)
+
+
+def test_aggregate_join_result_rejects_multimatch():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from hash_join_codes_knl_tpu.engine.phj import JoinResult, join
+    from hash_join_codes_knl_tpu.ops.aggregate import aggregate_join_result
+
+    # duplicate-key build -> match counts > 1: the aggregate must refuse
+    # (silently dropping those rows would be a quietly wrong aggregate)
+    ik = np.array([7, 7, 9], dtype=np.uint32)
+    iv = np.array([1, 2, 3], dtype=np.uint32)
+    ok = np.array([7, 9, 11], dtype=np.uint32)
+    ov = np.array([10, 20, 30], dtype=np.uint32)
+    res, _ = join(ik, iv, ok, ov)
+    with pytest.raises(ValueError, match="multi-match"):
+        aggregate_join_result(res)

@@ -64,6 +64,40 @@ def test_probe_pallas_chunked_path(monkeypatch):
     np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
 
 
+def test_merge_probe_many_tiles_wide_window():
+    """n_tiles > 128 exercises the SMEM wrow double-buffer ROLLOVER (the
+    kernel stages window rows into SMEM 128 tiles at a time); w_chunks=6
+    exercises sweeps wider than any other off-TPU test.  Both paths
+    previously executed only on real TPU in the bench."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hash_join_codes_knl_tpu.engine.phj import _merge_windows
+    from hash_join_codes_knl_tpu.ops.merge_probe_pallas import (
+        merge_probe_jnp,
+        merge_probe_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    tile, window, n_tiles, rows = 128, 768, 320, 64
+    cap = n_tiles * tile
+    bhk = np.sort(rng.integers(1, 2**32, rows * 128, dtype=np.uint32))
+    bval = rng.integers(0, 2**32, rows * 128, dtype=np.uint32)
+    hits = bhk[rng.integers(0, len(bhk), cap // 2)]
+    miss = rng.integers(1, 2**32, cap - cap // 2, dtype=np.uint32)
+    ohk = jnp.asarray(np.sort(np.concatenate([hits, miss]).astype(np.uint32)))
+    bhk2 = jnp.asarray(bhk).reshape(rows, 128)
+    bval2 = jnp.asarray(bval).reshape(rows, 128)
+    wrow, overflow = _merge_windows(jnp.asarray(bhk), ohk, tile, window, rows)
+    assert int(overflow) == 0
+    with pltpu.force_tpu_interpret_mode():
+        mv1, mc1 = merge_probe_pallas(ohk, bhk2, bval2, wrow, tile, window)
+    mv0, mc0 = merge_probe_jnp(ohk, bhk2, bval2, wrow, tile, window)
+    np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0))
+    np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
+    assert int(np.asarray(mc1).sum()) >= cap // 2  # the planted hits
+
+
 def test_merge_probe_constant_key_tiles():
     """Heavy-hitter runs: tiles of one repeated key hit the broadcast
     fast path and must agree with the jnp oracle."""

@@ -22,6 +22,21 @@ def test_np_hash_ratio_split_fractions():
         assert pid.min() >= 0 and pid.max() < 8
 
 
+def test_tier_and_partition_hashes_independent():
+    """The two levels must hash with independent factors (phj.cpp:101-123
+    factors_1/factors_2): with both derived from one scramble, tier and
+    pid are monotone in each other and half the mesh receives ZERO
+    traffic.  Every chip must get a near-uniform share of its half."""
+    rng = np.random.default_rng(5)
+    keys = rng.integers(1, 2**32, 400_000, dtype=np.uint32)
+    for ratio, want_b in ((0.5, 0.5), (0.75, 0.75)):
+        pid = np_hash_ratio(keys, 0x9E3779B1, 8, ratio)
+        frac = np.bincount(pid, minlength=8) / len(keys)
+        want_a = (1 - want_b) / 4
+        np.testing.assert_allclose(frac[:4], want_a, rtol=0.05)
+        np.testing.assert_allclose(frac[4:], want_b / 4, rtol=0.05)
+
+
 def test_device_tier_hash_matches_numpy_oracle():
     import jax.numpy as jnp
 
