@@ -141,11 +141,17 @@ def main(argv=None):
                 outer.keys, outer.vals, mesh, plan_npj(len(ik)),
             )
         else:
-            from .engine.npj import npj_build, npj_probe, plan_npj
+            from .engine.npj import npj_build, npj_probe_sorted, plan_npj
 
             plan = plan_npj(len(ik))
-            tk, tv, _ = timer.run("build", npj_build, ik, iv, plan)
-            mv, mc = timer.run("probe", npj_probe, tk, tv, ok, plan)
+            tk, tv, _, max_disp = timer.run("build", npj_build, ik, iv, plan)
+            window = plan.window or plan.auto_window(len(ok))
+            mv, mc, wovf = timer.run("probe", npj_probe_sorted, tk, tv, ok,
+                                     plan, max_disp, window)
+            if int(wovf) > 0:
+                print("NPJ probe window overflow: re-run via npj_join "
+                      "(auto re-plan)", file=sys.stderr)
+                return 1
             join_tuples = int(np.asarray(mc, dtype=np.int64).sum())
     elif args.algorithm == "phj":
         from .engine.config import plan_join

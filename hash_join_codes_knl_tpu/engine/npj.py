@@ -13,13 +13,24 @@ table is allocated with a non-wrapping overflow margin instead of modular
 wraparound (same join semantics: every key is findable from its home bucket
 scanning forward to the first empty).
 
-Probe (K2 analog, npj.cpp:216-364): per probe key, walk slots from the home
-bucket until the first empty, accumulating matches.  The reference's 16-lane
-gather + lane-refill becomes a while_loop over whole-relation gather steps
-(active-masked); iterations = longest active chain.  This is the
-gather-bound algorithm by definition -- on TPU as on KNL flat mode, NPJ
-loses to PHJ on bandwidth; it exists for parity and as the degenerate
-no-partition baseline.
+Probe (K2 analog, npj.cpp:216-364): two engines.
+
+* "sorted" (default): the table is already HOME-BUCKET ORDERED (the build
+  sort produces it), and every key's matches live in slots [h0, h0+disp]
+  where disp <= the build's maximum parking displacement.  So the probe is
+  scheduled like the merge engine: order probes by home bucket (one fused
+  sort), sweep each probe tile against its bucket-range window with the
+  SAME Pallas kernel as PHJ's merge probe, then restore input order with a
+  second sort keyed by the carried index.  This replaces KNL's 16-lane
+  random gather (npj.cpp:252-318) -- the TPU has no HBM gather (measured
+  ~115M gathered elements/s via XLA, PERF_NOTES.md), so batch-scheduling
+  probes by locality is the vectorization, not a partitioning pass: there
+  is still exactly ONE global table and no radix decomposition.
+
+* "chain": the literal while_loop chain walk over whole-relation gather
+  steps (active-masked; iterations = longest chain).  Gather-bound by
+  definition -- kept as the semantic oracle and ablation baseline
+  (the -D_NO_VECTOR analog), ~0.8M tuples/s on TPU.
 
 Output contract: aligned to the PROBE input order (match_val/match_cnt per
 probe tuple), the closest analog of the reference's probe-order output.
@@ -39,6 +50,13 @@ from ..utils.hashing import range_hash
 from .config import DEFAULT_FACTOR
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 @dataclasses.dataclass(frozen=True)
 class NpjPlan:
     buckets: int  # table size (home-bucket range)
@@ -49,6 +67,25 @@ class NpjPlan:
     # distinct, so a probe lane retires at its first match instead of
     # walking to the end of the cluster
     unique: bool = False
+    # probe engines: "sorted" (home-bucket-ordered window sweep, default)
+    # | "chain" (while_loop chain walk, the oracle/ablation path)
+    probe_impl: str = "sorted"
+    tile: int = 2048  # sorted-probe tile (pad quantum)
+    window: int = 0  # sorted-probe window in slots (0 = auto estimate)
+
+    @property
+    def table_size(self) -> int:
+        """buckets + margin, rounded up to a 128 multiple (the sorted
+        probe views the table as (rows, 128))."""
+        return -(-(self.buckets + self.margin) // 128) * 128
+
+    def auto_window(self, probes: int) -> int:
+        """Window for the sorted probe: expected home-bucket span of one
+        probe tile (tile/probes of the bucket range) + parking-displacement
+        and order-statistic margins, clamped to the table size."""
+        lam = self.tile * self.buckets / max(probes, 1)
+        w = int(lam + 8 * (lam ** 0.5) + 384)
+        return min(-(-w // 128) * 128, self.table_size)
 
 
 def plan_npj(inner_n: int, load: float = 0.5) -> NpjPlan:
@@ -63,9 +100,13 @@ def plan_npj(inner_n: int, load: float = 0.5) -> NpjPlan:
 
 @functools.partial(jax.jit, static_argnames=("plan",))
 def npj_build(inner_keys, inner_vals, plan: NpjPlan):
-    """Returns (table_keys, table_vals, overflow_count)."""
+    """Returns (table_keys, table_vals, overflow_count, max_disp).
+
+    max_disp is the largest parking displacement (slot - home bucket) of
+    any kept tuple: every key's matches lie in [h0, h0 + max_disp], which
+    is what the sorted probe's window-coverage check consumes."""
     n = inner_keys.shape[0]
-    size = plan.buckets + plan.margin
+    size = plan.table_size
     h = range_hash(inner_keys, plan.factor, plan.buckets).astype(jnp.int32)
     # null keys park at the far end and are dropped
     h = jnp.where(inner_keys != PAD_KEY, h, size)
@@ -79,7 +120,10 @@ def npj_build(inner_keys, inner_vals, plan: NpjPlan):
     overflow = jnp.sum((slot >= size).astype(jnp.int32)) - jnp.sum(
         (h_s >= size).astype(jnp.int32)
     )
-    return tk, tv, overflow
+    max_disp = jnp.max(
+        jnp.where(slot < size, slot - h_s, 0), initial=0
+    ).astype(jnp.int32)
+    return tk, tv, overflow, max_disp
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
@@ -120,18 +164,86 @@ def npj_probe(table_keys, table_vals, probe_keys, plan: NpjPlan):
     return mval, mcnt
 
 
+@functools.partial(jax.jit, static_argnames=("plan", "window"))
+def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
+                     max_disp, window: int):
+    """Home-bucket-ordered window probe (the vectorized K2).
+
+    Order probes by home bucket with one fused sort (carrying key +
+    original index), sweep each tile against its bucket-range window with
+    the merge-probe kernel (the table is bucket-ordered by construction,
+    and equal keys are parked contiguously, so the dense equality sweep
+    sees exactly the chain-walk's candidate set), then restore input order
+    with a second sort keyed by the carried index.
+
+    Returns (match_vals, match_cnts aligned to probe input order,
+    overflow): overflow counts tiles whose required span
+    (tile max h0 + max_disp + 1 - window row) exceeds `window` -- a VALUE
+    for the caller to re-plan on, never silent (engine convention).
+    """
+    from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
+
+    n = probe_keys.shape[0]
+    size = table_keys.shape[0]
+    rows_total = size // 128
+    tile = plan.tile
+    cap = -(-n // tile) * tile
+    w_chunks = window // 128
+    h0 = range_hash(probe_keys, plan.factor, plan.buckets).astype(jnp.int32)
+    # pads carry key 0 (inert in the kernel); park them at the last bucket
+    # so mixed real/pad tiles keep a sane span for the coverage check
+    h0 = jnp.where(probe_keys != PAD_KEY, h0, plan.buckets - 1)
+    h0p = jnp.concatenate(
+        [h0, jnp.full(cap - n, plan.buckets - 1, jnp.int32)]
+    )
+    kp = jnp.concatenate([probe_keys, jnp.zeros(cap - n, jnp.uint32)])
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    h0_s, k_s, idx_s = jax.lax.sort((h0p, kp, idx), num_keys=1)
+    lo = h0_s[::tile]
+    hi = h0_s[tile - 1 :: tile]
+    wrow = jnp.clip(lo // 128, 0, rows_total - w_chunks)
+    overflow = jnp.sum(
+        (hi + max_disp + 1 - wrow * 128 > window).astype(jnp.int32)
+    )
+    tk2 = table_keys.reshape(rows_total, 128)
+    tv2 = table_vals.reshape(rows_total, 128)
+    if _on_tpu():
+        mv, mc = merge_probe_pallas(k_s, tk2, tv2, wrow, tile, window)
+    else:
+        mv, mc = merge_probe_jnp(k_s, tk2, tv2, wrow, tile, window)
+    _, mv_o, mc_o = jax.lax.sort((idx_s, mv, mc), num_keys=1)
+    return mv_o[:n], mc_o[:n], overflow
+
+
 def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
-             plan: NpjPlan | None = None):
-    """Full NPJ; returns (match_vals, match_cnts aligned to outer, plan)."""
+             plan: NpjPlan | None = None, window_retries: int = 3):
+    """Full NPJ; returns (match_vals, match_cnts aligned to outer, plan).
+
+    Sorted-probe window overflow triggers re-planning with a doubled
+    window (same protocol as the merge PHJ engine)."""
     if plan is None:
         plan = plan_npj(len(inner_keys))
     ik, iv = jnp.asarray(inner_keys), jnp.asarray(inner_vals)
     ok = jnp.asarray(outer_keys)
-    tk, tv, overflow = npj_build(ik, iv, plan)
+    tk, tv, overflow, max_disp = npj_build(ik, iv, plan)
     if int(overflow) > 0:
         raise RuntimeError(
             f"{int(overflow)} build tuples overflowed the table margin; "
             "increase NpjPlan.margin or lower the load factor"
         )
-    mv, mc = npj_probe(tk, tv, ok, plan)
-    return mv, mc, plan
+    if plan.probe_impl == "chain":
+        mv, mc = npj_probe(tk, tv, ok, plan)
+        return mv, mc, plan
+    size_cap = plan.table_size
+    window = plan.window or plan.auto_window(len(ok))
+    for _ in range(window_retries + 1):
+        mv, mc, wovf = npj_probe_sorted(tk, tv, ok, plan, max_disp, window)
+        if int(wovf) == 0 or window >= size_cap:
+            break
+        # an undersized explicit window jumps straight to the auto
+        # estimate; past that, double
+        window = min(max(2 * window, plan.auto_window(len(ok))), size_cap)
+    if int(wovf) != 0:
+        raise RuntimeError("sorted-probe window overflow persists at the "
+                           "table-size window")
+    return mv, mc, dataclasses.replace(plan, window=window)

@@ -25,23 +25,40 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.npj import NpjPlan, npj_build, npj_probe, plan_npj
+from ..engine.npj import (
+    NpjPlan,
+    npj_build,
+    npj_probe,
+    npj_probe_sorted,
+    plan_npj,
+)
 
 
-def make_npj_step(mesh: Mesh, plan: NpjPlan, axis: str = "x"):
+def make_npj_step(mesh: Mesh, plan: NpjPlan, axis: str = "x",
+                  probe_window: int = 0):
     """Jitted distributed NPJ step: (ik, iv, ok, ov) sharded along `axis`
     -> (match_vals, match_cnts aligned to the local outer shard,
-    join_tuples scalar, build_overflow scalar)."""
+    join_tuples scalar, overflow scalar: build margin overflow +
+    sorted-probe window overflow folded together, psum'd)."""
 
     def local_step(ik, iv, ok, ov):
         # build phase: replicate the build side (the "shared table"),
         # build the identical table on every chip
         gik = jax.lax.all_gather(ik, axis, tiled=True)
         giv = jax.lax.all_gather(iv, axis, tiled=True)
-        tk, tv, overflow = npj_build(gik, giv, plan)
+        tk, tv, overflow, max_disp = npj_build(gik, giv, plan)
         # probe phase: local outer shard only, no communication
-        mv, mc = npj_probe(tk, tv, ok, plan)
+        if plan.probe_impl == "chain":
+            mv, mc = npj_probe(tk, tv, ok, plan)
+        else:
+            window = probe_window or plan.window or plan.auto_window(
+                ok.shape[0]
+            )
+            mv, mc, wovf = npj_probe_sorted(tk, tv, ok, plan, max_disp,
+                                            window)
+            overflow = overflow + wovf
         total = jax.lax.psum(jnp.sum(mc.astype(jnp.uint32)), axis)
+        overflow = jax.lax.psum(overflow, axis)
         return mv, mc, total, overflow
 
     spec = P(axis)
@@ -62,12 +79,25 @@ def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
     plan) with match arrays aligned to the outer relation order."""
     if plan is None:
         plan = plan_npj(len(inner_keys))
-    step = make_npj_step(mesh, plan, axis)
     sh = NamedSharding(mesh, P(axis))
     dev = lambda x: jax.device_put(jnp.asarray(x), sh)
-    mv, mc, total, overflow = step(
-        dev(inner_keys), dev(inner_vals), dev(outer_keys), dev(outer_vals)
+    args = (dev(inner_keys), dev(inner_vals), dev(outer_keys),
+            dev(outer_vals))
+    window = plan.window or plan.auto_window(
+        len(outer_keys) // mesh.shape[axis]
     )
+    size_cap = plan.table_size
+    for _ in range(4):  # sorted-probe window re-planning, as in npj_join
+        step = make_npj_step(mesh, plan, axis, probe_window=window)
+        mv, mc, total, overflow = step(*args)
+        if int(overflow) == 0 or plan.probe_impl == "chain" or (
+            window >= size_cap
+        ):
+            break
+        window = min(2 * window, size_cap)
     if int(overflow) > 0:
-        raise RuntimeError("build table margin overflow; lower the load")
+        raise RuntimeError(
+            "NPJ overflow persists (build table margin or probe window); "
+            "lower the load factor"
+        )
     return np.asarray(mv), np.asarray(mc), int(total), plan

