@@ -85,6 +85,15 @@ def main(argv=None):
                    help="cpra: split the probe side into N chunks and "
                         "pipeline exchange with probe compute "
                         "(make_cpra_step_pipelined)")
+    p.add_argument("--stream-chunk-rows", type=int, default=0,
+                   help="phj: out-of-core mode -- keep the probe side in "
+                        "host RAM and stream it through the chip in "
+                        "chunks of this many rows (engine/stream.py); "
+                        "the build side stays HBM-resident")
+    p.add_argument("--spill-dir", default=None,
+                   help="with --stream-chunk-rows: spill per-chunk "
+                        "results + checkpoints here; a re-run resumes "
+                        "from the last completed chunk")
     p.add_argument("--config", metavar="FILE", default=None,
                    help="JSON file of JoinPlan fields (p_bits, slots, "
                         "tile, window, pass_bits, partition_impl, "
@@ -123,7 +132,32 @@ def main(argv=None):
     inner, outer = _load_or_generate(args)
     timer = PhaseTimer()
     ik = timer.run("load_device", jnp.asarray, inner.keys)
-    iv, ok, ov = (jnp.asarray(x) for x in (inner.vals, outer.keys, outer.vals))
+    iv = jnp.asarray(inner.vals)
+    if args.algorithm == "phj" and args.stream_chunk_rows > 0:
+        # out-of-core: the probe side stays host-resident and streams
+        # through the chip chunk by chunk (engine/stream.py)
+        from .engine.stream import stream_join
+
+        sres = timer.run(
+            "stream_join", stream_join, inner.keys, inner.vals,
+            outer.keys, outer.vals, args.stream_chunk_rows,
+            spill_dir=args.spill_dir,
+        )
+        join_tuples = sres.join_tuples
+        expect = expected_join_tuples(len(inner.keys), len(outer.keys))
+        if args.outer <= args.inner and join_tuples != expect:
+            print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
+                  file=sys.stderr)
+            return 1
+        profiling.close()
+        _report("phj-stream", timer, len(outer.keys), join_tuples,
+                args.json,
+                {"chunks": len(sres.chunks),
+                 "resumed_chunks": sres.resumed_chunks,
+                 "chunk_rows": args.stream_chunk_rows,
+                 "window": sres.plan.window})
+        return 0
+    ok, ov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
 
     if args.algorithm == "npj":
         if args.threads > 1:
@@ -203,6 +237,40 @@ def main(argv=None):
             )
             if bool(ovf):
                 print("OVERFLOW: raise caps/chunks", file=sys.stderr)
+                return 1
+        elif args.timelog:
+            # staged phase metering: exchange (the re-aggregation copy
+            # the reference times separately, cpra2.cpp:1895-1905) vs
+            # the local join
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .engine.config import plan_join
+            from .parallel.cpra import make_cpra_steps_staged
+
+            n_chips = mesh.shape["x"]
+            plan = plan_join(len(ik) // n_chips, len(ok) // n_chips)
+            sh = NamedSharding(mesh, PartitionSpec("x"))
+            dev = lambda x: jax.device_put(np.asarray(x), sh)
+            args_dev = (dev(inner.keys), dev(inner.vals),
+                        dev(outer.keys), dev(outer.vals))
+            slack, bias = 2.0, 1.0
+            if args.arg4 is not None and n_chips >= 2:
+                bias = 2.0 * max(args.arg4, 1.0 - args.arg4)
+            for _ in range(3):
+                icap = max(64, int(len(ik) / n_chips**2 * slack * bias))
+                ocap = max(plan.tile,
+                           int(len(ok) / n_chips**2 * slack * bias))
+                ex, jo = make_cpra_steps_staged(
+                    mesh, plan, icap, ocap,
+                    tier_ratio=args.arg4 if n_chips >= 2 else None,
+                )
+                *exchanged, eovf = timer.run("exchange", ex, *args_dev)
+                res, jovf = timer.run("local_join", jo, *exchanged)
+                if not (bool(eovf) or bool(jovf)):
+                    break
+                slack *= 2.0
+            else:
+                print("OVERFLOW persists after re-planning",
+                      file=sys.stderr)
                 return 1
         else:
             res, _ = timer.run(

@@ -21,9 +21,14 @@ class JoinPlan:
     slots: int  # build-table slots per partition (VMEM-resident row)
     tile: int  # probe tile = probe-side pad quantum
     factor: int = DEFAULT_FACTOR
-    pass_bits: tuple = ()  # per-pass radix bits for the Pallas partitioner
+    # per-pass radix bits; consumed by partition_impl="radix" (the multi-
+    # pass Pallas partitioner, phj.cpp:1791-1863 analog); must sum to
+    # p_bits.  The "sort" modes ignore it (one fused sort IS all passes).
+    pass_bits: tuple = ()
     skip_bits: int = 0  # hash bits already consumed by upstream routing
-    partition_impl: str = "sort"  # "sort" (fused lax.sort) | "argsort" (oracle)
+    # "sort" (fused lax.sort) | "argsort" (oracle) | "radix" (multi-pass
+    # Pallas histogram+scatter partitioner driven by pass_bits)
+    partition_impl: str = "sort"
     # probe modes: "merge" (sorted-window probe, flagship; *_pallas/_jnp
     # forced variants) | "auto"/"pallas"/"jnp" (padded-partition table probe)
     probe_impl: str = "merge"

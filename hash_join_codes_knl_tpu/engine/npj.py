@@ -110,8 +110,11 @@ def npj_build(inner_keys, inner_vals, plan: NpjPlan):
     h = range_hash(inner_keys, plan.factor, plan.buckets).astype(jnp.int32)
     # null keys park at the far end and are dropped
     h = jnp.where(inner_keys != PAD_KEY, h, size)
-    h_s, k_s, v_s = jax.lax.sort((h, inner_keys, inner_vals), num_keys=1,
-                                 is_stable=True)
+    # (h, key, val) all participate in the comparator: equal keys share h
+    # so they land contiguously with values ascending -- a fully
+    # deterministic layout (any order within an h-group is a valid
+    # linear-probe insertion order)
+    h_s, k_s, v_s = jax.lax.sort((h, inner_keys, inner_vals), num_keys=3)
     j = jnp.arange(n, dtype=jnp.int32)
     slot = j + jax.lax.cummax(h_s - j)  # parking rule
     slot = jnp.where((h_s < size) & (slot < size), slot, size)  # drop
@@ -207,6 +210,10 @@ def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
     )
     tk2 = table_keys.reshape(rows_total, 128)
     tv2 = table_vals.reshape(rows_total, 128)
+    # the DENSE merge kernel only: the parked table interleaves empty
+    # (key 0) slots, so its windows are not monotone and the
+    # gather-select kernel's boundary arithmetic (merge_probe_gather,
+    # which needs key-sorted windows) does not apply here
     if _on_tpu():
         mv, mc = merge_probe_pallas(k_s, tk2, tv2, wrow, tile, window)
     else:

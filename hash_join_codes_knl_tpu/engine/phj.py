@@ -111,14 +111,20 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
     return tile, window, rows_total, cap
 
 
-def _merge_sort_side(hk, vals, pad_to):
+def _merge_sort_side(hk, vals, pad_to, num_keys: int = 1):
     """Hash-order both columns; null-key pads sort to the front and are
-    masked everywhere downstream."""
+    masked everywhere downstream.
+
+    num_keys=2 additionally orders equal-key runs by VALUE -- required on
+    the BUILD side by the gather probe (ops/merge_probe_gather.py), whose
+    exact max-val relies on a run's maximum sitting at its end.  The
+    probe side never needs it.
+    """
     hk_p = jnp.concatenate([hk, jnp.zeros(pad_to - hk.shape[0], jnp.uint32)])
     v_p = jnp.concatenate(
         [vals, jnp.zeros(pad_to - vals.shape[0], jnp.uint32)]
     )
-    return jax.lax.sort((hk_p, v_p), num_keys=1)
+    return jax.lax.sort((hk_p, v_p), num_keys=num_keys)
 
 
 def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
@@ -141,16 +147,36 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
     return wrow, overflow
 
 
+GATHER_MIN_CHUNKS = 5  # measured crossover: dense sweep wins below this
+
+
+def _merge_impl(plan: JoinPlan, window: int) -> str:
+    """Resolve 'merge' to a concrete probe engine: the dense sweep for
+    narrow windows, the gather-select kernel once window compare work
+    would dominate (w_chunks >= GATHER_MIN_CHUNKS and the chunk index
+    fits one lane gather); jnp oracle off-TPU."""
+    impl = plan.probe_impl
+    if impl == "merge":
+        if not _on_tpu():
+            return "merge_jnp"
+        if GATHER_MIN_CHUNKS * 128 <= window <= 128 * 128:
+            return "merge_gather"
+        return "merge_pallas"
+    return impl
+
+
 def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
                  tile: int, window: int, rows_total: int) -> JoinResult:
     from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
 
     bhk2 = bhk.reshape(rows_total, 128)
     bval2 = bval.reshape(rows_total, 128)
-    impl = plan.probe_impl
-    if impl == "merge":
-        impl = "merge_pallas" if _on_tpu() else "merge_jnp"
-    if impl == "merge_pallas":
+    impl = _merge_impl(plan, window)
+    if impl == "merge_gather":
+        from ..ops.merge_probe_gather import merge_probe_gather
+
+        mv, mc = merge_probe_gather(ohk_s, bhk2, bval2, wrow, tile, window)
+    elif impl == "merge_pallas":
         mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
     else:
         mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile, window)
@@ -179,8 +205,11 @@ def phj_join_merge(
     ni = inner_keys.shape[0]
     no = outer_keys.shape[0]
     tile, window, rows_total, cap = _merge_params(plan, ni, no)
+    # build side carries the value as a secondary sort key (cheap at
+    # build size; required by the gather probe's exact max-val)
     bhk, bval = _merge_sort_side(
-        hashed_key(inner_keys, plan.factor), inner_vals, rows_total * 128
+        hashed_key(inner_keys, plan.factor), inner_vals, rows_total * 128,
+        num_keys=2,
     )
     ohk_s, ov_s = _merge_sort_side(
         hashed_key(outer_keys, plan.factor), outer_vals, cap
@@ -196,8 +225,8 @@ def _staged_fns(plan: JoinPlan, tile: int, window: int, rows_total: int):
     don't recompile (fresh jit objects would)."""
     f = plan.factor
     sort_side = jax.jit(
-        lambda k, v, p: _merge_sort_side(hashed_key(k, f), v, p),
-        static_argnums=2,
+        lambda k, v, p, nk=1: _merge_sort_side(hashed_key(k, f), v, p, nk),
+        static_argnums=(2, 3),
     )
     windows = jax.jit(
         lambda b, o: _merge_windows(b, o, tile, window, rows_total)
@@ -220,7 +249,7 @@ def phj_join_merge_staged(inner_keys, inner_vals, outer_keys, outer_vals,
     tile, window, rows_total, cap = _merge_params(plan, ni, no)
     sort_side, windows, probe = _staged_fns(plan, tile, window, rows_total)
     bhk, bval = timer.run("partition_build", sort_side, inner_keys,
-                          inner_vals, rows_total * 128)
+                          inner_vals, rows_total * 128, 2)
     ohk_s, ov_s = timer.run("partition_probe", sort_side, outer_keys,
                             outer_vals, cap)
     wrow, overflow = timer.run("windows", windows, bhk, ohk_s)
@@ -236,6 +265,9 @@ def _phj_join_padded(
     plan: JoinPlan,
 ) -> JoinResult:
     P = plan.num_partitions
+    if plan.partition_impl == "radix":
+        return _phj_join_padded_radix(inner_keys, inner_vals, outer_keys,
+                                      outer_vals, plan)
     # PAD_KEY (0) is the reserved null key: tuples carrying it are padding
     # from upstream stages (exchange buckets, padded layouts) and are dropped
     # on both sides by routing them to the out-of-range partition.
@@ -280,6 +312,62 @@ def _phj_join_padded(
     # unscramble probe keys for the output contract (one elementwise pass)
     inv = jnp.uint32(mod_inverse_u32(plan.factor))
     return JoinResult(pk * inv, pv, mv, mc, bcounts)
+
+
+def _phj_join_padded_radix(inner_keys, inner_vals, outer_keys, outer_vals,
+                           plan: JoinPlan):
+    """Padded PHJ with the Pallas MULTI-PASS radix partitioner: the
+    faithful translation of the reference's local pass loop
+    (phj.cpp:1791-1863), consuming `plan.pass_bits` pass by pass.
+
+    Both relations go through multipass_partition (histogram + VMEM-
+    staged scatter per pass); the build regions ARE the dense table
+    (zero-interleaved, every probe masks null keys), the probe regions
+    feed the standard tile probe with a 128-slot tile (region capacity
+    is always a 128 multiple).  Kept for parity and bounded-fanout
+    regimes; PERF_NOTES.md records why partition-as-sort beats it for
+    full-depth single-chip partitioning.
+
+    build_counts carries P+1 entries: per-partition counts plus the
+    summed pass overflow flag as the LAST entry (overflows are values).
+    """
+    from ..ops.radix_partition_pallas import multipass_partition
+
+    P = plan.num_partitions
+    assert sum(plan.pass_bits) == plan.p_bits, (
+        "radix mode consumes pass_bits; their sum must equal p_bits"
+    )
+    interp = not _on_tpu()
+    ihk = hashed_key(inner_keys, plan.factor)
+    ohk = hashed_key(outer_keys, plan.factor)
+    tk, tv, bcounts, bovf = multipass_partition(
+        ihk, inner_vals, plan.pass_bits, plan.skip_bits, interpret=interp
+    )
+    slots = tk.shape[0] // P
+    pk, pv, ocounts, oovf = multipass_partition(
+        ohk, outer_vals, plan.pass_bits, plan.skip_bits, interpret=interp
+    )
+    ocap = pk.shape[0] // P
+    n_tiles = pk.shape[0] // 128
+    offsets = jnp.arange(P + 1, dtype=jnp.int32) * ocap
+    tpid = tile_pids(offsets, n_tiles, 128)
+    probe_impl = plan.probe_impl
+    if probe_impl == "auto":
+        probe_impl = "pallas" if _on_tpu() else "jnp"
+    if probe_impl == "pallas":
+        mv, mc = probe_tiles_pallas(pk, tk.reshape(P, slots),
+                                    tv.reshape(P, slots), tpid, 128)
+    else:
+        group = 8 if n_tiles % 8 == 0 else 1
+        mv, mc = probe_tiles_jnp(
+            pk, tk.reshape(P, slots), tv.reshape(P, slots),
+            jnp.full(P, slots, jnp.int32), tpid, 128, group=group,
+        )
+    inv = jnp.uint32(mod_inverse_u32(plan.factor))
+    counts_plus = jnp.concatenate(
+        [bcounts.astype(jnp.int32), (bovf + oovf)[None].astype(jnp.int32)]
+    )
+    return JoinResult(pk * inv, pv, mv, mc, counts_plus)
 
 
 def join(

@@ -1,0 +1,213 @@
+"""Out-of-core streaming join: probe relations larger than chip HBM.
+
+The host-DRAM tier is the TPU analog of the reference's DDR half of the
+two-tier layout (hma_malloc DDR-vs-MCDRAM, phj.cpp:241-268; ratio split
+phj.cpp:101-116): the build side is sorted ONCE and stays HBM-resident,
+while the probe side lives in host RAM (numpy array or np.memmap -- it
+never needs to fit HBM) and streams through the chip in fixed-size
+chunks.  Each chunk runs the same merge pipeline as single-shot PHJ
+(hash-order sort -> prefix-sum windows -> Pallas window probe) against
+the resident build order; chunk k+1's host->device transfer is issued
+before chunk k's result is consumed, so the tunnel/PCIe copy overlaps
+compute (double buffering).
+
+Checkpoint/resume (engine/spill.py): each completed chunk spills its
+result columns (match_vals, match_cnts -- the probe columns in chunk-
+sorted order are deterministic replays of the input chunk, so they are
+not duplicated on disk) plus a sidecar with the chunk input checksum
+and join count.  A restarted run re-verifies the sidecar/columns and
+skips completed chunks; corrupted or missing spill recomputes that
+chunk.  Every chunk is a pure function of (build order, chunk rows), so
+rerun-from-last-chunk is always sound.
+
+This is the single-chip path to BASELINE config-5 scale (1B-row probe
+sides): HBM holds only the build order + two in-flight chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+from .config import JoinPlan, plan_join
+from .phj import _merge_params, _staged_fns
+from .spill import _read_u32, _write_u32
+
+
+@dataclasses.dataclass
+class ChunkMeta:
+    index: int
+    rows: int
+    join_tuples: int
+    resumed: bool
+    window_overflow: int
+
+
+@dataclasses.dataclass
+class StreamResult:
+    join_tuples: int
+    chunks: list  # ChunkMeta per chunk
+    plan: JoinPlan
+
+    @property
+    def resumed_chunks(self) -> int:
+        return sum(c.resumed for c in self.chunks)
+
+
+def _chunk_checksum(keys: np.ndarray) -> int:
+    return int(np.sum(keys.astype(np.uint64), dtype=np.uint64))
+
+
+def _sidecar_path(d: str, k: int) -> str:
+    return os.path.join(d, f"chunk_{k:06d}.json")
+
+
+def _spill_chunk(d: str, k: int, mval, mcnt, meta: dict) -> None:
+    mval = np.asarray(mval, dtype=np.uint32)
+    mcnt = np.asarray(mcnt, dtype=np.int32).astype(np.uint32)
+    _write_u32(os.path.join(d, f"chunk_{k:06d}_mval.bin"), mval)
+    _write_u32(os.path.join(d, f"chunk_{k:06d}_mcnt.bin"), mcnt)
+    meta = dict(meta, mval_checksum=_chunk_checksum(mval),
+                mcnt_checksum=_chunk_checksum(mcnt))
+    with open(_sidecar_path(d, k), "w") as f:
+        json.dump(meta, f)
+
+
+def _try_resume_chunk(d: str, k: int, input_checksum: int, rows: int,
+                      cap: int):
+    """Returns the sidecar meta if chunk k's spill is present, matches
+    this input, and passes the column checksums; else None."""
+    try:
+        with open(_sidecar_path(d, k)) as f:
+            meta = json.load(f)
+        if meta["input_checksum"] != input_checksum or meta["rows"] != rows:
+            return None
+        mval = _read_u32(os.path.join(d, f"chunk_{k:06d}_mval.bin"), cap)
+        mcnt = _read_u32(os.path.join(d, f"chunk_{k:06d}_mcnt.bin"), cap)
+        if (_chunk_checksum(mval) != meta["mval_checksum"]
+                or _chunk_checksum(mcnt) != meta["mcnt_checksum"]):
+            return None
+        return meta
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def stream_join(
+    inner_keys,
+    inner_vals,
+    outer_keys: np.ndarray,
+    outer_vals: np.ndarray,
+    chunk_rows: int,
+    plan: JoinPlan | None = None,
+    spill_dir: str | None = None,
+    window_retries: int = 3,
+    on_chunk=None,
+) -> StreamResult:
+    """Join an HBM-resident build side against a host-resident probe side.
+
+    outer_keys/outer_vals: host numpy arrays or np.memmap -- only
+    `chunk_rows` of each are ever device-resident (plus the in-flight
+    next chunk).  spill_dir enables checkpoint/resume.  on_chunk, if
+    given, is called with (ChunkMeta, JoinResult-or-None) per chunk
+    (None when the chunk was resumed from spill) -- the hook for
+    consumers that materialize rows instead of counting them.
+    """
+    ni = len(inner_keys)
+    no = len(outer_keys)
+    if plan is None:
+        plan = plan_join(ni, min(no, chunk_rows))
+    tile, window, rows_total, cap = _merge_params(plan, ni, chunk_rows)
+    plan = dataclasses.replace(plan, window=window)
+    if spill_dir:
+        os.makedirs(spill_dir, exist_ok=True)
+
+    sort_side, windows, probe = _staged_fns(plan, tile, window, rows_total)
+    bhk, bval = sort_side(jnp.asarray(inner_keys), jnp.asarray(inner_vals),
+                          rows_total * 128, 2)
+
+    n_chunks = -(-no // chunk_rows)
+
+    def host_chunk(k):
+        sl = slice(k * chunk_rows, min((k + 1) * chunk_rows, no))
+        return np.asarray(outer_keys[sl]), np.asarray(outer_vals[sl])
+
+    def to_device(k):
+        ck, cv = host_chunk(k)
+        if len(ck) < chunk_rows:  # short tail: pad with null keys
+            pad = chunk_rows - len(ck)
+            ck = np.concatenate([ck, np.zeros(pad, np.uint32)])
+            cv = np.concatenate([cv, np.zeros(pad, np.uint32)])
+        # async H2D: returns immediately, the copy overlaps compute
+        return jax.device_put(ck), jax.device_put(cv)
+
+    chunks: list[ChunkMeta] = []
+    total = 0
+    pending = None  # (dev_keys, dev_vals) of the next chunk, in flight
+    for k in range(n_chunks):
+        ck_host, _ = host_chunk(k)
+        rows = len(ck_host)
+        csum = _chunk_checksum(ck_host)
+        if spill_dir:
+            meta = _try_resume_chunk(spill_dir, k, csum, rows, cap)
+            if meta is not None:
+                cm = ChunkMeta(k, rows, meta["join_tuples"], True,
+                               meta["window_overflow"])
+                chunks.append(cm)
+                total += cm.join_tuples
+                if on_chunk:
+                    on_chunk(cm, None)
+                # the prefetched device buffers belong to this skipped
+                # chunk; drop them and refetch the next one fresh
+                pending = None
+                continue
+        dk, dv = pending if pending is not None else to_device(k)
+        pending = to_device(k + 1) if k + 1 < n_chunks else None
+        # sort_side scrambles internally (hashed_key), raw keys in
+        ohk_s, ov_s = sort_side(dk, dv, cap)
+        wrow, wovf = windows(bhk, ohk_s)
+        res = probe(bhk, bval, ohk_s, ov_s, wrow, wovf)
+        ovf = int(res.build_counts[0])
+        for _ in range(window_retries):
+            if ovf == 0:
+                break
+            # a skewed chunk overflowed its window: re-plan THIS and all
+            # later chunks with a doubled window (one recompile)
+            window *= 2
+            plan = dataclasses.replace(plan, window=window)
+            tile, window, rows_total, cap2 = _merge_params(
+                plan, ni, chunk_rows
+            )
+            assert cap2 == cap
+            sort_side, windows, probe = _staged_fns(plan, tile, window,
+                                                    rows_total)
+            bhk, bval = sort_side(jnp.asarray(inner_keys),
+                                  jnp.asarray(inner_vals),
+                                  rows_total * 128, 2)
+            ohk_s, ov_s = sort_side(dk, dv, cap)
+            wrow, wovf = windows(bhk, ohk_s)
+            res = probe(bhk, bval, ohk_s, ov_s, wrow, wovf)
+            ovf = int(res.build_counts[0])
+        if ovf != 0:
+            raise RuntimeError(
+                f"chunk {k}: window overflow persists after re-planning"
+            )
+        jt = int(res.join_tuples)
+        cm = ChunkMeta(k, rows, jt, False, ovf)
+        if spill_dir:
+            _spill_chunk(
+                spill_dir, k, res.match_vals, res.match_cnts,
+                {"index": k, "rows": rows, "input_checksum": csum,
+                 "join_tuples": jt, "window_overflow": ovf,
+                 "window": window, "tile": tile},
+            )
+        chunks.append(cm)
+        total += jt
+        if on_chunk:
+            on_chunk(cm, res)
+    return StreamResult(total, chunks, plan)

@@ -286,6 +286,66 @@ def radix_partition_pallas(
     return flat_k, out_val.reshape(-1), counts, ovf[0]
 
 
+def multipass_partition(
+    hk: jnp.ndarray,
+    vals: jnp.ndarray,
+    pass_bits: tuple,
+    skip_bits: int = 0,
+    tile: int = 32768,
+    interpret: bool = False,
+):
+    """Compose radix passes into a full partitioning (the reference's
+    local multi-pass loop, phj.cpp:1791-1863: pass k+1 runs once per
+    pass-k sub-partition).
+
+    Returns (out_hk, out_vals, counts, overflow): out_* are
+    2^sum(pass_bits) partition-contiguous regions of equal capacity
+    (out.shape[0] / P), zero-interleaved (run tails pad with the null
+    key, as all padded layouts here do); counts are exact per final
+    partition; overflow != 0 means some pass exceeded a region capacity
+    or run bound (retry with a larger tile/cap).
+
+    The per-region calls of later passes are unrolled into the trace,
+    exactly as the reference unrolls its sub-partition loop across
+    thread time; the unroll is capped to keep compile time sane --
+    measured on v5e the single-pass bounded-fanout regime is the only
+    one that beats the fused sort anyway (module docstring).
+    """
+    calls = 1
+    for b in pass_bits[:-1]:
+        calls *= 1 << b
+    if calls > 64:
+        raise ValueError(
+            f"multipass unroll of {calls} region calls exceeds the "
+            "compile-time cap (64); use fewer/larger leading passes"
+        )
+    k, v, counts, ovf = radix_partition_pallas(
+        hk, vals, pass_bits[0], skip_bits=skip_bits, tile=tile,
+        interpret=interpret,
+    )
+    skip = skip_bits + pass_bits[0]
+    for b in pass_bits[1:]:
+        F_prev = counts.shape[0]
+        cap_prev = k.shape[0] // F_prev
+        ks, vs, cs, os_ = [], [], [], []
+        for r in range(F_prev):
+            rk = jax.lax.dynamic_slice(k, (r * cap_prev,), (cap_prev,))
+            rv = jax.lax.dynamic_slice(v, (r * cap_prev,), (cap_prev,))
+            k2, v2, c2, o2 = radix_partition_pallas(
+                rk, rv, b, skip_bits=skip, tile=tile, interpret=interpret
+            )
+            ks.append(k2)
+            vs.append(v2)
+            cs.append(c2)
+            os_.append(o2)
+        k = jnp.concatenate(ks)
+        v = jnp.concatenate(vs)
+        counts = jnp.concatenate(cs)
+        ovf = ovf + sum(os_)
+        skip += b
+    return k, v, counts, ovf
+
+
 def radix_partition_oracle(hk, vals, bits, skip_bits=0):
     """numpy oracle of the layout contract: per-partition multisets of
     (hk, val) pairs, null keys dropped."""

@@ -171,6 +171,83 @@ def make_cpra_step(
     return jax.jit(shard_fn)
 
 
+def make_cpra_steps_staged(
+    mesh: Mesh,
+    plan: JoinPlan,
+    inner_cap: int,
+    outer_cap: int,
+    axis: str = "x",
+    tier_ratio: float | None = None,
+):
+    """The CPRA pipeline as TWO separately-jitted stages for phase
+    metering: `exchange` (owner pack + all_to_all -- the re-aggregation
+    copy the reference times separately, cpra2.cpp:1895-1905, printed
+    1983-1984) and `local_join` (the per-chip PHJ).  Same semantics as
+    make_cpra_step without skew; used by `cli cpra --timelog`.
+
+    Returns (exchange_fn, join_fn):
+      exchange_fn(ik, iv, ok, ov) -> (rik, riv, rok, rov, overflow)
+      join_fn(rik, riv, rok, rov) -> (JoinResult, overflow)
+    """
+    n_chips = mesh.shape[axis]
+    c_bits = _owner_bits(n_chips)
+    use_tiers = tier_ratio is not None and n_chips >= 2
+    skip = plan.skip_bits if use_tiers else plan.skip_bits + c_bits
+    local_plan = dataclasses.replace(plan, skip_bits=skip)
+
+    def exchange(ik, iv, ok, ov):
+        def owner_of(keys):
+            if use_tiers:
+                own = hash_ratio(
+                    keys, plan.factor, n_chips, tier_ratio
+                ).astype(jnp.int32)
+            elif c_bits == 0:
+                own = jnp.zeros(keys.shape, jnp.int32)
+            else:
+                own = (
+                    hashed_key(keys, plan.factor) >> (32 - c_bits)
+                ).astype(jnp.int32)
+            return jnp.where(keys != 0, own, n_chips)
+
+        bik, biv, icnt = pack_by_owner(ik, iv, owner_of(ik), n_chips,
+                                       inner_cap)
+        bok, bov, ocnt = pack_by_owner(ok, ov, owner_of(ok), n_chips,
+                                       outer_cap)
+        overflow = jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
+        a2a = functools.partial(
+            jax.lax.all_to_all, axis_name=axis, split_axis=0,
+            concat_axis=0, tiled=True,
+        )
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        return (a2a(bik.reshape(-1)), a2a(biv.reshape(-1)),
+                a2a(bok.reshape(-1)), a2a(bov.reshape(-1)), overflow)
+
+    def local_join(rik, riv, rok, rov):
+        res = phj_join(rik, riv, rok, rov, local_plan)
+        if local_plan.probe_impl.startswith("merge"):
+            overflow = res.build_counts[0] > 0
+        else:
+            overflow = jnp.any(res.build_counts > local_plan.slots)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+        return res, overflow
+
+    spec = P(axis)
+    exchange_fn = jax.jit(
+        jax.shard_map(
+            exchange, mesh=mesh, in_specs=(spec,) * 4,
+            out_specs=(spec, spec, spec, spec, P()), check_vma=False,
+        )
+    )
+    join_fn = jax.jit(
+        jax.shard_map(
+            local_join, mesh=mesh, in_specs=(spec,) * 4,
+            out_specs=(JoinResult(spec, spec, spec, spec, spec), P()),
+            check_vma=False,
+        )
+    )
+    return exchange_fn, join_fn
+
+
 def make_cpra_step_pipelined(
     mesh: Mesh,
     plan: JoinPlan,
@@ -232,7 +309,8 @@ def make_cpra_step_pipelined(
 
         tile, window, rows_total, cap = _merge_params(local_plan, ni, no)
         bhk, bval = _merge_sort_side(
-            hk_of(rik, local_plan.factor), riv, rows_total * 128
+            hk_of(rik, local_plan.factor), riv, rows_total * 128,
+            num_keys=2,
         )
         # probe side: all exchanges are emitted before any probe consumes
         # them, leaving the scheduler free to overlap
@@ -372,6 +450,7 @@ def cpra_join(
     skew: bool = False,
     tier_ratio: float | None = None,
     retries: int = 2,
+    liveness_timeout_s: float | None = 30.0,
     **skew_kw,
 ):
     """Convenience front end: shard host arrays, run the distributed step.
@@ -401,6 +480,11 @@ def cpra_join(
         ) > 0:
             raise RuntimeError("probe window overflow on single chip")
         return res, plan
+    # stage boundary: fail fast with a diagnosis instead of hanging in
+    # the exchange collective if a mesh participant is gone
+    from .distributed import require_live_mesh
+
+    require_live_mesh(mesh, liveness_timeout_s, axis, stage="cpra_exchange")
     # with tier routing the heavier half receives max(r, 1-r) of the
     # traffic spread over n/2 chips -- 2*max(r, 1-r) times uniform
     bias = 1.0

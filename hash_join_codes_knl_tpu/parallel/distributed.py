@@ -46,18 +46,24 @@ def data_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     return jax.make_mesh((len(devs),), (axis,), devices=devs)
 
 
-def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x") -> bool:
+def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x",
+                   _beat_fn=None) -> bool:
     """All-hosts heartbeat: one tiny psum over the mesh with a timeout.
 
     Returns True if every participant answered within the deadline.  A
     False return means a chip/host is unreachable; abort the job and rerun
-    the stage (stages are pure; inputs are still on disk/HBM)."""
+    the stage (stages are pure; inputs are still on disk/HBM).
+
+    The distributed drivers (cpra_join, npj_join_dist) run this at their
+    stage boundary via require_live_mesh; _beat_fn is a test hook that
+    substitutes the collective (e.g. one that hangs, to exercise the
+    timeout path)."""
     n = mesh.shape[axis]
 
     def beat(x):
         return jax.lax.psum(x, axis)
 
-    fn = jax.jit(
+    fn = _beat_fn or jax.jit(
         jax.shard_map(beat, mesh=mesh, in_specs=P(axis), out_specs=P()),
     )
     x = jnp.ones(n, jnp.int32)
@@ -74,3 +80,20 @@ def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x") -> bool
     t.start()
     t.join(timeout_s)
     return bool(result and result[0])
+
+
+def require_live_mesh(mesh: Mesh, timeout_s: float | None, axis: str = "x",
+                      stage: str = "") -> None:
+    """Stage-boundary guard used by the distributed drivers: abort with a
+    diagnosable error instead of hanging inside a data collective when a
+    mesh participant is gone.  timeout_s=None skips the check (single-
+    chip meshes skip it implicitly -- there is nobody else to wait for)."""
+    if timeout_s is None or mesh.devices.size <= 1:
+        return
+    if not liveness_check(mesh, timeout_s=timeout_s, axis=axis):
+        raise RuntimeError(
+            f"mesh liveness check failed before stage {stage!r}: a "
+            f"participant of the {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+            "mesh did not answer the heartbeat within "
+            f"{timeout_s}s -- abort and rerun the stage (stages are pure)"
+        )

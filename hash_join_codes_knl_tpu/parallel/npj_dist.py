@@ -74,9 +74,13 @@ def make_npj_step(mesh: Mesh, plan: NpjPlan, axis: str = "x",
 
 
 def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
-                  mesh: Mesh, plan: NpjPlan | None = None, axis: str = "x"):
+                  mesh: Mesh, plan: NpjPlan | None = None, axis: str = "x",
+                  liveness_timeout_s: float | None = 30.0):
     """Convenience front end; returns (match_vals, match_cnts, join_tuples,
     plan) with match arrays aligned to the outer relation order."""
+    from .distributed import require_live_mesh
+
+    require_live_mesh(mesh, liveness_timeout_s, axis, stage="npj_build")
     if plan is None:
         plan = plan_npj(len(inner_keys))
     sh = NamedSharding(mesh, P(axis))

@@ -87,3 +87,13 @@ def test_cpra_cli_pipelined_chunks(capsys):
                  "--chunks", "4"]) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["join_tuples"] == 16384
+
+
+def test_cpra_cli_timelog_staged_phases(capsys):
+    """--timelog must meter the exchange separately from the local join
+    (cpra2.cpp:1895-1905 copy-time parity)."""
+    assert main(["cpra", "8", "8192", "1024", "--seed", "7", "--json",
+                 "--timelog"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 8192
+    assert "exchange_s" in out and "local_join_s" in out

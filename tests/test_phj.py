@@ -184,3 +184,38 @@ def test_no_matches_at_all():
     assert int(res.join_tuples) == 0
     k, v, t = materialize(res)
     assert len(k) == 0
+
+
+def test_padded_radix_mode_consumes_pass_bits():
+    """partition_impl='radix' runs the padded join through the multi-pass
+    Pallas partitioner (pass_bits pass by pass, phj.cpp:1791-1863 analog)
+    and must match the golden oracle exactly."""
+    import numpy as np
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan
+    from hash_join_codes_knl_tpu.engine.oracle import (
+        join_oracle,
+        multiset_digest,
+    )
+    from hash_join_codes_knl_tpu.engine.phj import materialize, phj_join
+
+    rng = np.random.default_rng(29)
+    ik = np.unique(rng.integers(1, 2**32, 4000, dtype=np.uint32))[:3000]
+    iv = rng.integers(0, 2**32, 3000, dtype=np.uint32)
+    ok = np.concatenate(
+        [ik[rng.integers(0, 3000, 9000)],
+         rng.integers(1, 2**32, 3000, dtype=np.uint32)]
+    ).astype(np.uint32)
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    for pass_bits in ((6,), (3, 3)):
+        plan = JoinPlan(p_bits=6, slots=1024, tile=2048,
+                        pass_bits=pass_bits, partition_impl="radix",
+                        probe_impl="jnp")
+        import jax.numpy as jnp
+
+        res = phj_join(jnp.asarray(ik), jnp.asarray(iv), jnp.asarray(ok),
+                       jnp.asarray(ov), plan)
+        assert int(np.asarray(res.build_counts)[-1]) == 0  # pass overflow
+        got = multiset_digest(*materialize(res))
+        want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+        assert got == want

@@ -129,3 +129,92 @@ def test_merge_probe_constant_key_tiles():
     got = multiset_digest(*materialize(res))
     want = multiset_digest(*join_oracle(ik, iv, ok, ov))
     assert got == want
+
+
+def _gather_case(bhk, bval, ohk, tile, window):
+    """Run gather kernel + jnp oracle on explicitly constructed sorted
+    arrays; both must agree exactly."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hash_join_codes_knl_tpu.engine.phj import _merge_windows
+    from hash_join_codes_knl_tpu.ops.merge_probe_gather import (
+        merge_probe_gather,
+    )
+    from hash_join_codes_knl_tpu.ops.merge_probe_pallas import merge_probe_jnp
+
+    rows = len(bhk) // 128
+    bhk2 = jnp.asarray(bhk).reshape(rows, 128)
+    bval2 = jnp.asarray(bval).reshape(rows, 128)
+    ohk_j = jnp.asarray(ohk)
+    wrow, ovf = _merge_windows(jnp.asarray(bhk), ohk_j, tile, window, rows)
+    assert int(ovf) == 0
+    with pltpu.force_tpu_interpret_mode():
+        mv1, mc1 = merge_probe_gather(ohk_j, bhk2, bval2, wrow, tile,
+                                      window)
+    mv0, mc0 = merge_probe_jnp(ohk_j, bhk2, bval2, wrow, tile, window)
+    np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0))
+    np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
+    return np.asarray(mc1)
+
+
+def test_merge_probe_gather_uniform():
+    rng = np.random.default_rng(31)
+    n_build = 24 * 128
+    bhk = np.sort(rng.integers(1, 2**32, n_build, dtype=np.uint32))
+    bval = rng.integers(0, 2**32, n_build, dtype=np.uint32)
+    cap = 16 * 2048
+    hits = bhk[rng.integers(0, n_build, cap // 2)]
+    miss = rng.integers(1, 2**32, cap - cap // 2, dtype=np.uint32)
+    ohk = np.sort(np.concatenate([hits, miss]).astype(np.uint32))
+    mc = _gather_case(bhk, bval, ohk, tile=2048, window=768)
+    assert mc.sum() >= cap // 2
+
+
+def test_merge_probe_gather_long_duplicate_runs():
+    """Runs of one key spanning MANY 128-slot chunks: the middle-chunk
+    arithmetic (128 * (ce-cs-1)) must count them exactly, and the
+    max-val must come from the run's end (val-ascending runs)."""
+    rng = np.random.default_rng(32)
+    uniq = np.sort(
+        np.unique(rng.integers(1, 2**32, 900, dtype=np.uint32))
+    )[:800]
+    reps = np.ones(800, np.int64)
+    reps[100] = 700   # ~5.5 chunks of one key
+    reps[500] = 1300  # ~10 chunks
+    reps[799] = 260   # run ending at the build tail
+    bhk = np.repeat(uniq, reps).astype(np.uint32)
+    pad = (-len(bhk)) % 128
+    bhk = np.concatenate([np.zeros(pad, np.uint32), bhk])  # pads front
+    bhk = np.sort(bhk)
+    bval = rng.integers(0, 2**32, len(bhk), dtype=np.uint32)
+    # val-ascending within equal-key runs (the engine sorts num_keys=2)
+    order = np.lexsort((bval, bhk))
+    bhk, bval = bhk[order], bval[order]
+    cap = 8 * 2048
+    ohk = uniq[rng.integers(0, 800, cap)].astype(np.uint32)
+    ohk[: cap // 8] = uniq[100]  # hammer the long runs
+    ohk[cap // 8 : cap // 4] = uniq[500]
+    ohk = np.sort(ohk)
+    mc = _gather_case(bhk, bval, ohk, tile=2048, window=1664)
+    assert mc.max() == 1300
+
+
+def test_merge_probe_gather_boundary_and_pads():
+    """Probes equal to a window chunk's first element (the cs=-1 clamp
+    edge), probe pads (key 0), and constant-key tiles."""
+    rng = np.random.default_rng(33)
+    n_build = 16 * 128
+    bhk = np.sort(rng.integers(1, 2**32, n_build, dtype=np.uint32))
+    bval = np.arange(n_build, dtype=np.uint32)
+    cap = 8 * 1024
+    # probe exactly the chunk-first elements, repeatedly
+    firsts = bhk[::128]
+    ohk = np.concatenate([
+        np.repeat(firsts, 64),
+        bhk[rng.integers(0, n_build, cap - 64 * len(firsts) - 1500)],
+        np.zeros(1500, np.uint32),  # pads
+    ]).astype(np.uint32)
+    ohk = np.sort(ohk)
+    mc = _gather_case(bhk, bval, ohk, tile=1024, window=896)
+    assert mc[np.sort(ohk) == 0].sum() == 0 if (ohk == 0).any() else True

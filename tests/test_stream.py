@@ -1,0 +1,108 @@
+"""Out-of-core streaming join (engine/stream.py) vs the oracle, plus
+spill/resume and corruption-recovery behavior."""
+
+import numpy as np
+import pytest
+
+from hash_join_codes_knl_tpu.engine.oracle import join_oracle, multiset_digest
+from hash_join_codes_knl_tpu.engine.stream import stream_join
+
+
+@pytest.fixture()
+def workload():
+    rng = np.random.default_rng(23)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    iv = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    # probe: hits + misses, length NOT a multiple of the chunk size
+    hits = ik[rng.integers(0, 2048, 9000)]
+    miss = rng.integers(1, 2**32, 1500, dtype=np.uint32)
+    ok = np.concatenate([hits, miss]).astype(np.uint32)
+    rng.shuffle(ok)
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    return ik, iv, ok, ov
+
+
+def test_stream_join_matches_oracle(workload):
+    ik, iv, ok, ov = workload
+    rows = []
+
+    def collect(cm, res):
+        assert res is not None
+        mc = np.asarray(res.match_cnts)
+        m = mc == 1
+        rows.append(
+            (np.asarray(res.probe_keys)[m], np.asarray(res.probe_vals)[m],
+             np.asarray(res.match_vals)[m])
+        )
+
+    sres = stream_join(ik, iv, ok, ov, chunk_rows=4096, on_chunk=collect)
+    want = join_oracle(ik, iv, ok, ov)
+    assert sres.join_tuples == len(want[0])
+    assert len(sres.chunks) == 3  # 10500 rows / 4096
+    got = multiset_digest(*(np.concatenate(cols) for cols in zip(*rows)))
+    assert got == multiset_digest(*want)
+
+
+def test_stream_join_spill_resume(tmp_path, workload):
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "spill")
+    first = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d)
+    assert first.resumed_chunks == 0
+    second = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d)
+    assert second.resumed_chunks == len(second.chunks) == 3
+    assert second.join_tuples == first.join_tuples
+
+
+def test_stream_join_corrupted_spill_recomputed(tmp_path, workload):
+    ik, iv, ok, ov = workload
+    d = tmp_path / "spill"
+    first = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=str(d))
+    # flip one byte in chunk 1's result column: resume must reject it and
+    # recompute exactly that chunk
+    target = d / "chunk_000001_mval.bin"
+    blob = bytearray(target.read_bytes())
+    blob[13] ^= 0xFF
+    target.write_bytes(bytes(blob))
+    second = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=str(d))
+    assert [c.resumed for c in second.chunks] == [True, False, True]
+    assert second.join_tuples == first.join_tuples
+
+
+def test_stream_join_input_change_invalidates_chunk(tmp_path, workload):
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "spill")
+    stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d)
+    ok2 = ok.copy()
+    ok2[4100] = ik[7]  # chunk 1's input changes -> checksum mismatch
+    second = stream_join(ik, iv, ok2, ov, chunk_rows=4096, spill_dir=d)
+    assert [c.resumed for c in second.chunks] == [True, False, True]
+    want = join_oracle(ik, iv, ok2, ov)
+    assert second.join_tuples == len(want[0])
+
+
+def test_stream_cli_driver(tmp_path):
+    """The driver surface: cli phj --stream-chunk-rows with spill, run
+    twice -- the second run must resume every chunk."""
+    import json
+
+    from hash_join_codes_knl_tpu.cli import main
+
+    d = str(tmp_path / "spill")
+    args = ["phj", "1", "8192", "1024", "--seed", "11",
+            "--dir", str(tmp_path),
+            "--stream-chunk-rows", "2048", "--spill-dir", d, "--json"]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(args) == 0
+    m1 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m1["algorithm"] == "phj-stream"
+    assert m1["chunks"] == 4 and m1["resumed_chunks"] == 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(args) == 0
+    m2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m2["resumed_chunks"] == 4
+    assert m2["join_tuples"] == m1["join_tuples"]
