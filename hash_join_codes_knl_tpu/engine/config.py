@@ -33,6 +33,13 @@ class JoinPlan:
     # forced variants) | "auto"/"pallas"/"jnp" (padded-partition table probe)
     probe_impl: str = "merge"
     window: int = 0  # merge-mode probe window in slots (0 = auto estimate)
+    # merge mode: sort the probe side as this many INDEPENDENT chunks
+    # (one batched 2-D sort) instead of one global 1-D sort.  Chunk
+    # sorts are cheaper (PERF_NOTES.md batched-sort row) and each tile's
+    # window grows by ~the chunk ratio -- affordable because the
+    # gather-select kernel makes window width nearly free.  0/1 = one
+    # global sort.
+    probe_chunks: int = 0
 
     @property
     def num_partitions(self) -> int:
@@ -69,9 +76,22 @@ def reference_pass_plan(local_tuples: int,
     return tuple(fanout)
 
 
-def plan_join(inner_n: int, outer_n: int, tile: int = 2048) -> JoinPlan:
+def plan_join(inner_n: int, outer_n: int, tile: int | None = None,
+              probe_chunks: int | None = None) -> JoinPlan:
     """Pick a plan: build rows ~half full at the chosen fanout, probe
-    partitions a small multiple of the tile so padding waste stays low."""
+    partitions a small multiple of the tile so padding waste stays low.
+
+    At large probe counts the merge engine sorts the probe side as 64
+    independent chunks with a 3072-row tile: the batched 2-D sort is
+    ~30% cheaper than the global 1-D sort and the gather-select kernel
+    absorbs the wider windows (measured on v5e: 200 M tuples/s vs 158 at
+    16Mx256M; PERF_NOTES.md).  Small probes keep the global sort -- the
+    chunk quantum would be all padding.
+    """
+    if probe_chunks is None:
+        probe_chunks = 64 if outer_n >= 64_000_000 else 0
+    if tile is None:
+        tile = 3072 if probe_chunks else 2048
     p_bits = 1
     # target mean build-partition occupancy <= 128 and mean probe partition
     # >= 2 tiles (bounds padding waste at ~25% worst case)
@@ -88,4 +108,4 @@ def plan_join(inner_n: int, outer_n: int, tile: int = 2048) -> JoinPlan:
         passes.append(b)
         remaining -= b
     return JoinPlan(p_bits=p_bits, slots=slots, tile=tile,
-                    pass_bits=tuple(passes))
+                    pass_bits=tuple(passes), probe_chunks=probe_chunks)

@@ -94,20 +94,32 @@ def phj_join(
 def _merge_params(plan: JoinPlan, ni: int, no: int):
     """Static geometry of the merge pipeline: (tile, window, rows_total,
     cap).  Window sized from the expected build tuples per probe-tile hk
-    range (plan.window overrides)."""
+    range (plan.window overrides).
+
+    With probe_chunks, a tile's hk span is tile/chunk_len of the key
+    space (each chunk is only locally sorted), so the window scales by
+    ~the chunk count; cap becomes a multiple of chunks*tile so chunk
+    boundaries never split a tile."""
     tile = plan.tile
+    chunks = max(1, plan.probe_chunks)
+    quantum = tile * chunks
+    cap = -(-no // quantum) * quantum
     if plan.window:
         window = plan.window
     else:
-        # coverage: the window must hold the tile's build-side span
-        # (~Poisson(lam)) plus the 128-slot wrow round-down; 8*sqrt(lam)
-        # puts uniform-key overflow odds below 1e-20 per tile, and overflow
-        # is detected (never silent) for adversarial/duplicate-heavy builds
-        lam = tile * ni / max(no, 1)
-        window = int(max(384, lam + 8 * (lam ** 0.5) + 136))
+        # coverage: the window must hold the tile's build-side span --
+        # mean lam plus two fluctuation terms: Poisson thinning of the
+        # build density (8*sqrt(lam)) and, at large lam (chunked probes),
+        # the order-statistic variance of the tile's OWN hk span
+        # (sd ~ lam/sqrt(tile); measured: the sqrt term alone overflows
+        # ~2/125K tiles at lam=8K) -- plus the 128-slot wrow round-down.
+        # Overflow is detected (never silent) and re-planned regardless.
+        lam = tile * ni / max(cap // chunks, 1)
+        window = int(
+            max(384, lam + 8 * (lam ** 0.5) + 8 * lam / (tile ** 0.5) + 136)
+        )
     window = -(-window // 128) * 128
     rows_total = max(-(-ni // 128), window // 128)
-    cap = -(-no // tile) * tile
     return tile, window, rows_total, cap
 
 
@@ -127,9 +139,32 @@ def _merge_sort_side(hk, vals, pad_to, num_keys: int = 1):
     return jax.lax.sort((hk_p, v_p), num_keys=num_keys)
 
 
+def _merge_sort_probe(hk, vals, pad_to, chunks: int):
+    """Probe-side ordering: chunks <= 1 is the global 1-D sort; otherwise
+    one batched 2-D sort over (chunks, pad_to/chunks) rows -- measurably
+    cheaper than the 1-D path (PERF_NOTES.md), each chunk independently
+    hash-ordered.  Downstream needs nothing else: windows are per tile,
+    and _merge_params already widened them to the chunk-local span."""
+    if chunks <= 1:
+        return _merge_sort_side(hk, vals, pad_to)
+    hk_p = jnp.concatenate([hk, jnp.zeros(pad_to - hk.shape[0], jnp.uint32)])
+    v_p = jnp.concatenate(
+        [vals, jnp.zeros(pad_to - vals.shape[0], jnp.uint32)]
+    )
+    hk2, v2 = jax.lax.sort(
+        (hk_p.reshape(chunks, -1), v_p.reshape(chunks, -1)),
+        dimension=1, num_keys=1,
+    )
+    return hk2.reshape(-1), v2.reshape(-1)
+
+
 def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
-    """Per-tile window rows from prefix sums (searchsorted of tile bounds),
-    plus the count of tiles whose span overflows the window."""
+    """Per-tile window rows from prefix sums (searchsorted of tile bounds).
+
+    Returns (wrow, stats) with stats = [overflow_tile_count, max_span]:
+    the count of tiles whose span exceeds `window` (must be 0 for a valid
+    probe) and the largest REQUIRED span -- the re-planner sizes the next
+    window directly from it instead of blind doubling."""
     lo = ohk_s[::tile]
     hi = ohk_s[tile - 1 :: tile]
     # method="scan_unrolled" is ~4x the default binary-search lowering on
@@ -143,8 +178,9 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
     first_real = ss(bhk, jnp.uint32(1), side="left").astype(jnp.int32)
     w_lo = jnp.maximum(w_lo, first_real)
     wrow = jnp.clip(w_lo // 128, 0, rows_total - window // 128)
-    overflow = jnp.sum((w_hi - wrow * 128 > window).astype(jnp.int32))
-    return wrow, overflow
+    span = w_hi - wrow * 128
+    overflow = jnp.sum((span > window).astype(jnp.int32))
+    return wrow, jnp.stack([overflow, jnp.max(span, initial=0)])
 
 
 GATHER_MIN_CHUNKS = 5  # measured crossover: dense sweep wins below this
@@ -181,7 +217,8 @@ def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
     else:
         mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile, window)
     inv = jnp.uint32(mod_inverse_u32(plan.factor))
-    return JoinResult(ohk_s * inv, ov_s, mv, mc, overflow[None])
+    # build_counts in merge mode: [overflow_tile_count, max_required_span]
+    return JoinResult(ohk_s * inv, ov_s, mv, mc, overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
@@ -198,9 +235,9 @@ def phj_join_merge(
     partitioning sort, so each probe tile's matches lie in one contiguous
     build window located by prefix sums -- no dense table, no padded
     scatter (see ops/merge_probe_pallas.py).  build_counts in the result
-    carries ONE value: the number of window-overflow tiles (must be 0; the
-    default window makes overflow probability negligible, and callers
-    re-plan with a larger window otherwise).
+    carries TWO values: [count of window-overflow tiles (must be 0), max
+    required window span]; callers re-plan from the measured span when
+    the count is nonzero.
     """
     ni = inner_keys.shape[0]
     no = outer_keys.shape[0]
@@ -211,8 +248,9 @@ def phj_join_merge(
         hashed_key(inner_keys, plan.factor), inner_vals, rows_total * 128,
         num_keys=2,
     )
-    ohk_s, ov_s = _merge_sort_side(
-        hashed_key(outer_keys, plan.factor), outer_vals, cap
+    ohk_s, ov_s = _merge_sort_probe(
+        hashed_key(outer_keys, plan.factor), outer_vals, cap,
+        max(1, plan.probe_chunks),
     )
     wrow, overflow = _merge_windows(bhk, ohk_s, tile, window, rows_total)
     return _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan,
@@ -224,10 +262,16 @@ def _staged_fns(plan: JoinPlan, tile: int, window: int, rows_total: int):
     """Stage jits cached per (plan, geometry) so repeated staged runs
     don't recompile (fresh jit objects would)."""
     f = plan.factor
-    sort_side = jax.jit(
-        lambda k, v, p, nk=1: _merge_sort_side(hashed_key(k, f), v, p, nk),
-        static_argnums=(2, 3),
-    )
+    chunks = max(1, plan.probe_chunks)
+
+    def _sort(k, v, p, nk=1):
+        # nk=2 marks the build side (value-secondary order, never
+        # chunked); the probe side follows the plan's chunking
+        if nk != 1:
+            return _merge_sort_side(hashed_key(k, f), v, p, nk)
+        return _merge_sort_probe(hashed_key(k, f), v, p, chunks)
+
+    sort_side = jax.jit(_sort, static_argnums=(2, 3))
     windows = jax.jit(
         lambda b, o: _merge_windows(b, o, tile, window, rows_total)
     )
@@ -393,12 +437,26 @@ def join(
     )
     res = phj_join(*args, plan)
     if plan.probe_impl.startswith("merge"):
+        GATHER_CAP = 128 * 128  # widest gather-kernel window
         for _ in range(window_retries):
             if int(res.build_counts[0]) == 0:
                 break
-            window = _merge_params(plan, len(inner_keys),
-                                   len(outer_keys))[1]
-            plan = dataclasses.replace(plan, window=2 * window)
+            # size the next geometry from the MEASURED max required span
+            # (build_counts[1]) instead of blind doubling: one re-plan
+            # usually suffices (NEXT.md #5).  Spans scale ~linearly with
+            # the chunk count, so if even a padded span busts the gather
+            # cap, shrink probe_chunks proportionally first.
+            span = int(res.build_counts[1])
+            res = None  # free the failed attempt's buffers before retrying
+            C = max(1, plan.probe_chunks)
+            want = -(-int(span * 1.25 + 384) // 128) * 128
+            if C > 1 and want > GATHER_CAP:
+                newC = max(1, int(C * GATHER_CAP / want))
+                want = -(-int(span * 1.25 * newC / C + 384) // 128) * 128
+                plan = dataclasses.replace(plan, probe_chunks=newC,
+                                           window=want)
+            else:
+                plan = dataclasses.replace(plan, window=want)
             res = phj_join(*args, plan)
         else:
             if int(res.build_counts[0]) != 0:

@@ -338,7 +338,9 @@ def make_cpra_step_pipelined(
               for f in ("probe_keys", "probe_vals", "match_vals",
                         "match_cnts", "build_counts"))
         )
-        overflow |= jnp.sum(res.build_counts) > 0
+        # merge-mode build_counts per part = [overflow_tiles, max_span]:
+        # fold only the overflow entries
+        overflow |= jnp.sum(res.build_counts.reshape(-1, 2)[:, 0]) > 0
         overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
         return res, overflow
 

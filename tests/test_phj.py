@@ -15,7 +15,12 @@ from hash_join_codes_knl_tpu.relgen.generate import generate
 
 def _check_against_oracle(inner, outer):
     res, plan = join(inner.keys, inner.vals, outer.keys, outer.vals)
-    assert int(np.asarray(res.build_counts).max()) <= plan.slots, "overflow"
+    if plan.probe_impl.startswith("merge"):
+        # merge mode: build_counts = [overflow_tiles, max_span]
+        assert int(np.asarray(res.build_counts)[0]) == 0, "overflow"
+    else:
+        assert int(np.asarray(res.build_counts).max()) <= plan.slots, \
+            "overflow"
     k, v, t = materialize(res)
     want = multiset_digest(*join_oracle(inner.keys, inner.vals,
                                         outer.keys, outer.vals))
@@ -219,3 +224,57 @@ def test_padded_radix_mode_consumes_pass_bits():
         got = multiset_digest(*materialize(res))
         want = multiset_digest(*join_oracle(ik, iv, ok, ov))
         assert got == want
+
+
+def test_merge_probe_chunked_sort_matches_oracle():
+    """probe_chunks > 1: the probe side is sorted as independent chunks
+    (batched 2-D sort) with per-chunk-widened windows; results must be
+    exactly the oracle's."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.config import plan_join
+    from hash_join_codes_knl_tpu.engine.oracle import (
+        join_oracle,
+        multiset_digest,
+    )
+    from hash_join_codes_knl_tpu.engine.phj import materialize, phj_join
+
+    rng = np.random.default_rng(47)
+    ik = np.unique(rng.integers(1, 2**32, 5000, dtype=np.uint32))[:4096]
+    iv = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    ok = np.concatenate(
+        [ik[rng.integers(0, 4096, 30000)],
+         rng.integers(1, 2**32, 2768, dtype=np.uint32)]
+    ).astype(np.uint32)
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    import dataclasses
+
+    plan = dataclasses.replace(plan_join(4096, len(ok), tile=512),
+                               probe_chunks=4)
+    res = phj_join(jnp.asarray(ik), jnp.asarray(iv), jnp.asarray(ok),
+                   jnp.asarray(ov), plan)
+    assert int(np.asarray(res.build_counts)[0]) == 0  # windows covered
+    got = multiset_digest(*materialize(res))
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert got == want
+
+
+def test_merge_window_replan_uses_measured_span():
+    """An undersized explicit window must re-plan straight to a clean
+    geometry from the measured max span (one retry), not blind-double."""
+    import dataclasses
+
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    ik = np.unique(rng.integers(1, 2**32, 5000, dtype=np.uint32))[:4096]
+    iv = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    ok = ik[rng.integers(0, 4096, 16384)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 16384, dtype=np.uint32)
+    plan = dataclasses.replace(plan_join(4096, 16384, tile=512),
+                               probe_chunks=8, window=128)
+    res, final = join(ik, iv, ok, ov, plan, window_retries=2)
+    assert int(np.asarray(res.build_counts)[0]) == 0
+    assert final.window > 128
+    assert int(res.join_tuples) == 16384

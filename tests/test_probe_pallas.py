@@ -88,8 +88,8 @@ def test_merge_probe_many_tiles_wide_window():
     ohk = jnp.asarray(np.sort(np.concatenate([hits, miss]).astype(np.uint32)))
     bhk2 = jnp.asarray(bhk).reshape(rows, 128)
     bval2 = jnp.asarray(bval).reshape(rows, 128)
-    wrow, overflow = _merge_windows(jnp.asarray(bhk), ohk, tile, window, rows)
-    assert int(overflow) == 0
+    wrow, stats = _merge_windows(jnp.asarray(bhk), ohk, tile, window, rows)
+    assert int(stats[0]) == 0
     with pltpu.force_tpu_interpret_mode():
         mv1, mc1 = merge_probe_pallas(ohk, bhk2, bval2, wrow, tile, window)
     mv0, mc0 = merge_probe_jnp(ohk, bhk2, bval2, wrow, tile, window)
@@ -147,8 +147,8 @@ def _gather_case(bhk, bval, ohk, tile, window):
     bhk2 = jnp.asarray(bhk).reshape(rows, 128)
     bval2 = jnp.asarray(bval).reshape(rows, 128)
     ohk_j = jnp.asarray(ohk)
-    wrow, ovf = _merge_windows(jnp.asarray(bhk), ohk_j, tile, window, rows)
-    assert int(ovf) == 0
+    wrow, stats = _merge_windows(jnp.asarray(bhk), ohk_j, tile, window, rows)
+    assert int(stats[0]) == 0
     with pltpu.force_tpu_interpret_mode():
         mv1, mc1 = merge_probe_gather(ohk_j, bhk2, bval2, wrow, tile,
                                       window)
