@@ -35,14 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 _BIAS = -(2**31)
 
 
-def _make_kernel(w_chunks: int, n_tiles: int):
-    # NOTE on a rejected optimization: both the tile and the window are
-    # sorted, so per-(row, chunk) range-overlap skipping looks attractive
-    # (typically 1 of w_chunks chunks can match).  Measured on v5e it LOSES:
-    # the scalar-core branches (lax.cond / pl.when per chunk) and the
-    # accumulator carries/VMEM round-trips cost more than the skipped
-    # (128,128) compares.  The branchless dense sweep below is faster;
-    # window size (not skipping) is the lever that controls compare work.
+def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
+    """Shared scaffolding for the windowed merge-probe kernels: SMEM
+    staging of the per-tile window rows, double-buffered window DMAs, and
+    the constant-tile fast-path dispatch.  `row_result_factory(kwin, vwin)`
+    receives the tile's resident window buffers ((w_chunks, 128) each) and
+    returns fn(probe_row (1,128)) -> (match_vals, match_cnts); the dense
+    and gather probes differ only there."""
+
     def kernel(wrow_hbm, probe_ref, bhk_hbm, bval_hbm,
                mval_ref, mcnt_ref, kbuf, vbuf, wbuf, sems, wsems):
         # window rows live in HBM as (n_chunks, 128) -- scalar-prefetch
@@ -103,38 +103,8 @@ def _make_kernel(w_chunks: int, n_tiles: int):
             sems.at[slot, 1],
         ).wait()
 
-        bias = jnp.int32(_BIAS)
-        # window: (w_chunks, 128) -> slots on sublanes via transpose
-        wkT = jnp.transpose(kbuf[slot], (1, 0))  # (128, w_chunks)
-        wvT = jnp.transpose(
-            pltpu.bitcast(vbuf[slot], jnp.int32) ^ bias, (1, 0)
-        )
+        row_result = row_result_factory(kbuf[slot], vbuf[slot])
         r_rows = probe_ref.shape[1]
-
-        def row_result(ok):
-            # hk=0 pads: a real probe never equals a build pad (0) and a
-            # pad probe (0) only equals build pads, so the inner compare
-            # needs no mask -- spurious pad-pad matches are zeroed once
-            # per row at the end instead of masking every (128,128) block
-            mx = jnp.full((1, 128), bias, jnp.int32)
-            cnt = jnp.zeros((1, 128), jnp.int32)
-            for c in range(w_chunks):
-                wk_c = wkT[:, c : c + 1]
-                eq = wk_c == ok  # (128, 128)
-                mx = jnp.maximum(
-                    mx,
-                    jnp.max(jnp.where(eq, wvT[:, c : c + 1], bias),
-                            axis=0, keepdims=True),
-                )
-                cnt = cnt + jnp.sum(eq.astype(jnp.int32), axis=0,
-                                    keepdims=True)
-            live = ok != 0
-            cnt = jnp.where(live, cnt, 0)
-            mv = jnp.where(
-                (cnt > 0) & live, pltpu.bitcast(mx ^ bias, jnp.uint32),
-                jnp.uint32(0),
-            )
-            return mv, cnt
 
         # heavy-hitter fast path: a tile whose probes are all one key
         # (sorted Zipf runs produce thousands of such tiles) needs only
@@ -161,23 +131,15 @@ def _make_kernel(w_chunks: int, n_tiles: int):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile", "window", "interpret"))
-def merge_probe_pallas(
-    probe_hk: jnp.ndarray,  # (N_pad,) fully sorted, pads (hk=0) in front
-    build_hk2d: jnp.ndarray,  # (rows, 128) fully sorted (flattened order)
-    build_val2d: jnp.ndarray,  # (rows, 128)
-    window_row: jnp.ndarray,  # (n_tiles,) int32: first 128-row of the window
-    tile: int,
-    window: int,  # window size in slots, multiple of 128
-    interpret: bool = False,
-):
+def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
+                      window_row, tile: int, window: int, interpret: bool):
+    """Shared pallas_call wrapper for the windowed merge-probe kernels
+    (grid/specs/scratch are identical across them)."""
     cap = probe_hk.shape[0]
     n_tiles = cap // tile
     r_rows = tile // 128
     w_chunks = window // 128
     probe3d = probe_hk.reshape(n_tiles, r_rows, 128)
-    # window rows as (n_chunks, 128) HBM rows (see kernel comment)
     n_chunks = -(-n_tiles // 128)
     wrow2 = jnp.concatenate(
         [window_row.astype(jnp.int32),
@@ -209,7 +171,7 @@ def merge_probe_pallas(
         ],
     )
     mv, mc = pl.pallas_call(
-        _make_kernel(w_chunks, n_tiles),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.uint32),
@@ -218,6 +180,71 @@ def merge_probe_pallas(
         interpret=interpret,
     )(wrow2, probe3d, build_hk2d, build_val2d)
     return mv.reshape(cap), mc.reshape(cap)
+
+
+def _dense_row_result_factory(w_chunks: int):
+    # NOTE on a rejected optimization: both the tile and the window are
+    # sorted, so per-(row, chunk) range-overlap skipping looks attractive
+    # (typically 1 of w_chunks chunks can match).  Measured on v5e it LOSES:
+    # the scalar-core branches (lax.cond / pl.when per chunk) and the
+    # accumulator carries/VMEM round-trips cost more than the skipped
+    # (128,128) compares.  The branchless dense sweep below is faster;
+    # window size (not skipping) is the lever that controls compare work --
+    # and past ~5 chunks the gather-select kernel takes over entirely
+    # (ops/merge_probe_gather.py).
+    def factory(kwin, vwin):
+        bias = jnp.int32(_BIAS)
+        # window: (w_chunks, 128) -> slots on sublanes via transpose
+        wkT = jnp.transpose(kwin, (1, 0))  # (128, w_chunks)
+        wvT = jnp.transpose(pltpu.bitcast(vwin, jnp.int32) ^ bias, (1, 0))
+
+        def row_result(ok):
+            # hk=0 pads: a real probe never equals a build pad (0) and a
+            # pad probe (0) only equals build pads, so the inner compare
+            # needs no mask -- spurious pad-pad matches are zeroed once
+            # per row at the end instead of masking every (128,128) block
+            mx = jnp.full((1, 128), bias, jnp.int32)
+            cnt = jnp.zeros((1, 128), jnp.int32)
+            for c in range(w_chunks):
+                wk_c = wkT[:, c : c + 1]
+                eq = wk_c == ok  # (128, 128)
+                mx = jnp.maximum(
+                    mx,
+                    jnp.max(jnp.where(eq, wvT[:, c : c + 1], bias),
+                            axis=0, keepdims=True),
+                )
+                cnt = cnt + jnp.sum(eq.astype(jnp.int32), axis=0,
+                                    keepdims=True)
+            live = ok != 0
+            cnt = jnp.where(live, cnt, 0)
+            mv = jnp.where(
+                (cnt > 0) & live, pltpu.bitcast(mx ^ bias, jnp.uint32),
+                jnp.uint32(0),
+            )
+            return mv, cnt
+
+        return row_result
+
+    return factory
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "window", "interpret"))
+def merge_probe_pallas(
+    probe_hk: jnp.ndarray,  # (N_pad,) fully sorted, pads (hk=0) in front
+    build_hk2d: jnp.ndarray,  # (rows, 128) fully sorted (flattened order)
+    build_val2d: jnp.ndarray,  # (rows, 128)
+    window_row: jnp.ndarray,  # (n_tiles,) int32: first 128-row of the window
+    tile: int,
+    window: int,  # window size in slots, multiple of 128
+    interpret: bool = False,
+):
+    n_tiles = probe_hk.shape[0] // tile
+    kernel = make_window_probe_kernel(
+        window // 128, n_tiles, _dense_row_result_factory(window // 128)
+    )
+    return window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
+                             window_row, tile, window, interpret)
 
 
 def merge_probe_jnp(probe_hk, build_hk2d, build_val2d, window_row, tile,

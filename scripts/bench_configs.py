@@ -92,6 +92,9 @@ def main():
         return got
 
     record("phj_uniform", O, _sync_run(run_phj))
+    # free the uniform probe side before staging the zipf one: two
+    # 256M-row probe sides plus join internals exceed one chip's HBM
+    del run_phj, ok, ov
 
     # config 4: PHJ under Zipf outer skew.  Skewed probe tiles span wider
     # build windows than the uniform-derived auto window; join() re-plans
@@ -105,13 +108,25 @@ def main():
         ovz = jnp.asarray(outer_z.vals)
         _, zplan = phj_auto_join(ik, iv, okz, ovz, plan)
 
-        def run_zipf(rep, zplan=zplan):
-            res = phj_join(ik, iv, okz, ovz ^ jnp.uint32(rep), zplan)
+        # xor the per-rep variation INSIDE the jit: an eager `ovz ^ rep`
+        # materializes an extra 1 GB buffer, which is exactly the HBM
+        # headroom the 256M-row zipf join needs
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("plan",))
+        def _join_xor(ik, iv, ok, ov, rep, plan):
+            return phj_join(ik, iv, ok, ov ^ rep, plan)
+
+        def run_zipf(rep, zplan=zplan, okz=okz, ovz=ovz,
+                     _join_xor=_join_xor):
+            res = _join_xor(ik, iv, okz, ovz, jnp.uint32(rep), zplan)
             assert int(np.asarray(res.build_counts)[0]) == 0
             return int(res.join_tuples)
 
         record(f"phj_zipf_{z}", O, _sync_run(run_zipf),
-               {"window": zplan.window or "auto"})
+               {"window": zplan.window or "auto",
+                "probe_chunks": zplan.probe_chunks})
+        del run_zipf, okz, ovz
 
     # config 1: NPJ -- one global table, no partition passes.  The sorted
     # probe (home-bucket-ordered window sweep, engine/npj.py) is the
@@ -154,9 +169,10 @@ def main():
         record(name, len(nok8), _sync_run(run_chain, reps=1),
                {"note": "gather-bound ablation, 1/8 probe volume"})
 
-    # config 3: CPRA on the local mesh (free the NPJ/zipf device arrays
-    # first -- the full-size exchange needs the HBM headroom)
-    del ik, iv, ok, ov, okz, ovz, nik, niv, nok
+    # config 3: CPRA on the local mesh (free the NPJ device arrays
+    # first -- the full-size exchange needs the HBM headroom; the probe
+    # sides were already freed section by section)
+    del ik, iv, nik, niv, nok, nok8
     n_dev = len(jax.devices())
     n_dev = 1 << (n_dev.bit_length() - 1)
     mesh = jax.make_mesh((n_dev,), ("x",))
