@@ -194,7 +194,10 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
     return wrow, jnp.stack([overflow, jnp.max(span, initial=0)])
 
 
-GATHER_MIN_CHUNKS = 5  # measured crossover: dense sweep wins below this
+# Measured crossover (v5e, tile 3072, 83K tiles): dense 640=0.34s
+# 1280=0.57s; gather 1280=0.29s but PATHOLOGICAL at 640 (1.09s --
+# Mosaic's tiny-lane-dim transpose path).  Gather from 10 chunks up.
+GATHER_MIN_CHUNKS = 10
 
 
 def _merge_impl(plan: JoinPlan, window: int) -> str:

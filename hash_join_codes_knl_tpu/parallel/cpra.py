@@ -51,6 +51,29 @@ def _owner_bits(n_chips: int) -> int:
     return bits
 
 
+def _make_owner_of(plan: JoinPlan, n_chips: int, c_bits: int,
+                   tier_ratio: float | None = None):
+    """Owner-chip routing: top c_bits of the scrambled key, or the
+    two-level tier hash when tier_ratio is set (simd_hash_ratio analog).
+    Null keys route to the out-of-range owner (dropped by the pack)."""
+    use_tiers = tier_ratio is not None and n_chips >= 2
+
+    def owner_of(keys):
+        if use_tiers:
+            own = hash_ratio(
+                keys, plan.factor, n_chips, tier_ratio
+            ).astype(jnp.int32)
+        elif c_bits == 0:
+            own = jnp.zeros(keys.shape, jnp.int32)
+        else:
+            own = (
+                hashed_key(keys, plan.factor) >> (32 - c_bits)
+            ).astype(jnp.int32)
+        return jnp.where(keys != 0, own, n_chips)
+
+    return owner_of
+
+
 def make_cpra_step(
     mesh: Mesh,
     plan: JoinPlan,
@@ -117,21 +140,7 @@ def make_cpra_step(
             overflow |= hb_cnt > heavy_build_cap
             ik = jnp.where(i_heavy, jnp.uint32(0), ik)
             ok = jnp.where(o_heavy, jnp.uint32(0), ok)
-        # owner chip = top bits of the scrambled key (a shift by 32 is
-        # undefined: the single-chip mesh degenerates to owner 0)
-        def owner_of(keys):
-            if use_tiers:
-                own = hash_ratio(
-                    keys, plan.factor, n_chips, tier_ratio
-                ).astype(jnp.int32)
-            elif c_bits == 0:
-                own = jnp.zeros(keys.shape, jnp.int32)
-            else:
-                own = (
-                    hashed_key(keys, plan.factor) >> (32 - c_bits)
-                ).astype(jnp.int32)
-            return jnp.where(keys != 0, own, n_chips)  # drop nulled tuples
-
+        owner_of = _make_owner_of(plan, n_chips, c_bits, tier_ratio)
         i_owner = owner_of(ik)
         o_owner = owner_of(ok)
         bik, biv, icnt = pack_by_owner(ik, iv, i_owner, n_chips, inner_cap)
@@ -196,19 +205,7 @@ def make_cpra_steps_staged(
     local_plan = dataclasses.replace(plan, skip_bits=skip)
 
     def exchange(ik, iv, ok, ov):
-        def owner_of(keys):
-            if use_tiers:
-                own = hash_ratio(
-                    keys, plan.factor, n_chips, tier_ratio
-                ).astype(jnp.int32)
-            elif c_bits == 0:
-                own = jnp.zeros(keys.shape, jnp.int32)
-            else:
-                own = (
-                    hashed_key(keys, plan.factor) >> (32 - c_bits)
-                ).astype(jnp.int32)
-            return jnp.where(keys != 0, own, n_chips)
-
+        owner_of = _make_owner_of(plan, n_chips, c_bits, tier_ratio)
         bik, biv, icnt = pack_by_owner(ik, iv, owner_of(ik), n_chips,
                                        inner_cap)
         bok, bov, ocnt = pack_by_owner(ok, ov, owner_of(ok), n_chips,
@@ -285,15 +282,7 @@ def make_cpra_step_pipelined(
     chunk_cap = -(-outer_cap // chunks)
 
     def local_step(ik, iv, ok, ov):
-        def owner_of(keys):
-            if c_bits == 0:
-                own = jnp.zeros(keys.shape, jnp.int32)
-            else:
-                own = (
-                    hashed_key(keys, plan.factor) >> (32 - c_bits)
-                ).astype(jnp.int32)
-            return jnp.where(keys != 0, own, n_chips)
-
+        owner_of = _make_owner_of(plan, n_chips, c_bits)
         a2a = functools.partial(
             jax.lax.all_to_all, axis_name=axis, split_axis=0, concat_axis=0,
             tiled=True,
