@@ -93,6 +93,8 @@ def main():
                 "seconds": round(dt, 4),
                 "join_tuples": got,
                 "pct_hbm_stream_floor": round(pct_floor, 2),
+                "plan": {"tile": plan.tile, "probe_chunks": plan.probe_chunks,
+                         "p_bits": plan.p_bits},
             }
         )
     )

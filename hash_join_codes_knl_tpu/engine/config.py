@@ -89,7 +89,12 @@ def plan_join(inner_n: int, outer_n: int, tile: int | None = None,
     chunk quantum would be all padding.
     """
     if probe_chunks is None:
-        probe_chunks = 64 if outer_n >= 64_000_000 else 0
+        # chunked sorting needs extra sort workspace: above ~320M probe
+        # rows it tips a 16 GB chip into OOM (measured at 32Mx512M), so
+        # the near-HBM-capacity regime keeps the global sort -- relations
+        # beyond that belong to the streaming driver (engine/stream.py)
+        # or the multi-chip exchange anyway
+        probe_chunks = 64 if 64_000_000 <= outer_n <= 320_000_000 else 0
     if tile is None:
         tile = 3072 if probe_chunks else 2048
     p_bits = 1

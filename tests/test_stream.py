@@ -106,3 +106,30 @@ def test_stream_cli_driver(tmp_path):
     m2 = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert m2["resumed_chunks"] == 4
     assert m2["join_tuples"] == m1["join_tuples"]
+
+
+def test_stream_join_window_replan_on_skewed_chunk():
+    """A chunk whose keys concentrate in a narrow hash range overflows
+    the auto window; stream_join must re-plan (larger window) and still
+    produce exact results for that and all later chunks."""
+    import dataclasses
+
+    import numpy as np
+
+    from hash_join_codes_knl_tpu.engine.config import plan_join
+
+    rng = np.random.default_rng(83)
+    ik = np.unique(rng.integers(1, 2**32, 6000, dtype=np.uint32))[:4096]
+    iv = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    # chunk 0: uniform; chunk 1: duplicate-heavy (many copies of 16
+    # keys), whose per-tile spans need a wider window than chunk 0's
+    hot = ik[rng.integers(0, 16, 4096)].astype(np.uint32)
+    uni = ik[rng.integers(0, 4096, 4096)].astype(np.uint32)
+    ok = np.concatenate([uni, hot]).astype(np.uint32)
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    # small explicit window to force chunk-1 overflow
+    plan = dataclasses.replace(plan_join(4096, 4096, tile=512), window=384)
+    sres = stream_join(ik, iv, ok, ov, chunk_rows=4096, plan=plan)
+    assert sres.plan.window >= 384
+    want = join_oracle(ik, iv, ok, ov)
+    assert sres.join_tuples == len(want[0])
