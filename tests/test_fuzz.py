@@ -37,12 +37,14 @@ def _case(seed):
     if rng.random() < 0.3 and len(ik):
         ok[: no // 3] = ik[0]  # heavy hitter
     ov = rng.integers(0, 2**32, no, dtype=np.uint32)
-    # random-but-valid plan geometry
+    # random-but-valid plan geometry (incl. the chunk-sorted probe path)
     tile = int(rng.choice([128, 256, 512, 1024, 2048]))
     window = int(rng.choice([0, 384, 512]))
     p_bits = int(rng.integers(2, 8))
+    chunks = int(rng.choice([0, 0, 2, 4, 8]))
     plan = JoinPlan(p_bits=p_bits, slots=4096, tile=tile,
-                    pass_bits=(p_bits,), window=window)
+                    pass_bits=(p_bits,), window=window,
+                    probe_chunks=chunks)
     return ik, iv, ok, ov, plan
 
 
