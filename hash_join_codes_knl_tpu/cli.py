@@ -94,6 +94,11 @@ def main(argv=None):
                    help="with --stream-chunk-rows: spill per-chunk "
                         "results + checkpoints here; a re-run resumes "
                         "from the last completed chunk")
+    p.add_argument("--check", action="store_true",
+                   help="phj: run the BG-debug-mode analog after the "
+                        "join (oracle-free invariant re-checks: key "
+                        "conservation checksums, pad hygiene, window "
+                        "monotonicity; phj.cpp:1034-1041,1214-1229)")
     p.add_argument("--config", metavar="FILE", default=None,
                    help="JSON file of JoinPlan fields (p_bits, slots, "
                         "tile, window, pass_bits, partition_impl, "
@@ -206,6 +211,12 @@ def main(argv=None):
             res = timer.run("partition+build+probe", phj_join,
                             ik, iv, ok, ov, plan)
         join_tuples = int(res.join_tuples)
+        if args.check:
+            from .engine.validate import validate_join_result
+
+            stats = timer.run("check", validate_join_result, res,
+                              outer.keys, plan)
+            print(f"CHECK OK: {stats}", file=sys.stderr)
     else:  # cpra
         import jax
 
