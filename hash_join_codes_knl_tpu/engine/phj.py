@@ -501,33 +501,77 @@ def materialize(res: JoinResult) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def materialize_expanded(res: JoinResult, inner_keys, inner_vals):
+def materialize_expanded(res: JoinResult, inner_keys, inner_vals,
+                         block_rows: int = 0):
     """Full M:N materialization: every (probe row, matching build row)
     pair, for builds with duplicate keys.
 
     The aligned result carries per-probe match COUNTS (exact even for
     M:N); the cross-product rows are produced by the expansion op
-    (ops/expand.py) over the matched probe rows vs the build relation,
-    with capacity = the exact total from the counts.  Returns (keys,
-    vals, tabs) host arrays of exactly sum(match_cnts) rows.
+    (ops/expand.py) over the matched probe rows vs the build relation.
+    Returns (keys, vals, tabs) host arrays of exactly sum(match_cnts)
+    rows.
+
+    block_rows > 0 streams the expansion through fixed-size device
+    blocks instead of one total-sized buffer: matched probe rows are
+    grouped so each block's output fits `block_rows` (auto-raised to the
+    largest single-row multiplicity), every block reuses ONE compiled
+    expansion (fixed shapes), and outputs concatenate host-side -- the
+    out-of-core form for expansions larger than device memory.
     """
     from ..ops.expand import expand_join
 
-    mc = np.asarray(res.match_cnts)
+    mc = np.asarray(res.match_cnts).reshape(-1)
     total = int(mc.astype(np.int64).sum())
     if total == 0:
         e = np.zeros(0, np.uint32)
         return e, e.copy(), e.copy()
     m = mc > 0
-    pk = jnp.asarray(np.asarray(res.probe_keys)[m])
-    pv = jnp.asarray(np.asarray(res.probe_vals)[m])
-    cap = -(-total // 128) * 128
-    got, out_k, out_v, out_t = expand_join(
-        jnp.asarray(inner_keys), jnp.asarray(inner_vals), pk, pv, cap
-    )
-    assert int(got) == total, (int(got), total)
+    pk_np = np.asarray(res.probe_keys).reshape(-1)[m]
+    pv_np = np.asarray(res.probe_vals).reshape(-1)[m]
+    ik = jnp.asarray(inner_keys)
+    iv = jnp.asarray(inner_vals)
+    if not block_rows or total <= block_rows:
+        cap = -(-total // 128) * 128
+        got, out_k, out_v, out_t = expand_join(
+            ik, iv, jnp.asarray(pk_np), jnp.asarray(pv_np), cap
+        )
+        assert int(got) == total, (int(got), total)
+        return (
+            np.asarray(out_k)[:total],
+            np.asarray(out_v)[:total],
+            np.asarray(out_t)[:total],
+        )
+    counts = mc[m].astype(np.int64)
+    block_rows = max(block_rows, int(counts.max()))
+    cap = -(-block_rows // 128) * 128
+    # greedy block split: consecutive matched rows until the block's
+    # output would exceed block_rows
+    ends = np.cumsum(counts)
+    outs_k, outs_v, outs_t = [], [], []
+    start, consumed = 0, 0
+    while start < len(counts):
+        stop = int(np.searchsorted(ends, consumed + block_rows,
+                                   side="right"))
+        stop = max(stop, start + 1)
+        n_rows = stop - start
+        blk_total = int(ends[stop - 1] - consumed)
+        # pad the probe block to the block row capacity: one compiled
+        # expansion serves every block
+        pk_b = np.zeros(cap, np.uint32)
+        pv_b = np.zeros(cap, np.uint32)
+        pk_b[:n_rows] = pk_np[start:stop]
+        pv_b[:n_rows] = pv_np[start:stop]
+        got, out_k, out_v, out_t = expand_join(
+            ik, iv, jnp.asarray(pk_b), jnp.asarray(pv_b), cap
+        )
+        assert int(got) == blk_total, (int(got), blk_total)
+        outs_k.append(np.asarray(out_k)[:blk_total])
+        outs_v.append(np.asarray(out_v)[:blk_total])
+        outs_t.append(np.asarray(out_t)[:blk_total])
+        start, consumed = stop, int(ends[stop - 1])
     return (
-        np.asarray(out_k)[:total],
-        np.asarray(out_v)[:total],
-        np.asarray(out_t)[:total],
+        np.concatenate(outs_k),
+        np.concatenate(outs_v),
+        np.concatenate(outs_t),
     )

@@ -278,3 +278,27 @@ def test_merge_window_replan_uses_measured_span():
     assert int(np.asarray(res.build_counts)[0]) == 0
     assert final.window > 128
     assert int(res.join_tuples) == 16384
+
+
+def test_materialize_expanded_block_streaming():
+    """block_rows streams the expansion through fixed-size device blocks;
+    results must equal the single-shot expansion and the oracle,
+    including a single key whose multiplicity exceeds the block size
+    (auto-raise)."""
+    rng = np.random.default_rng(91)
+    base = np.unique(rng.integers(1, 2**32, 600, dtype=np.uint32))[:256]
+    reps = rng.integers(1, 6, 256)
+    reps[7] = 700  # one key's multiplicity exceeds block_rows=512
+    ik = np.repeat(base, reps).astype(np.uint32)
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    ok = base[rng.integers(0, 256, 2048)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    res, _ = join(ik, iv, ok, ov)
+    from hash_join_codes_knl_tpu.engine.phj import materialize_expanded
+
+    single = materialize_expanded(res, ik, iv)
+    blocked = materialize_expanded(res, ik, iv, block_rows=512)
+    assert multiset_digest(*blocked) == multiset_digest(*single)
+    assert multiset_digest(*blocked) == multiset_digest(
+        *join_oracle(ik, iv, ok, ov)
+    )
