@@ -43,7 +43,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.partition import PAD_KEY
 from ..utils.hashing import range_hash

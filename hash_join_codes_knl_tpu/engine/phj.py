@@ -29,7 +29,6 @@ from ..ops.partition import (
     PROBE_TILE_GROUP,
     build_dense_table_jnp,
     build_dense_table_sort_jnp,
-    compute_pids,
     partition_padded_jnp,
     partition_padded_sort_jnp,
     tile_pids,

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils.hashing import hashed_key
 
 
 def validate_join_result(res, outer_keys, plan) -> dict:

@@ -23,12 +23,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.config import JoinPlan, plan_join
 from ..engine.phj import JoinResult, phj_join
-from ..ops.partition import PAD_KEY, build_dense_table_sort_jnp
+from ..ops.partition import build_dense_table_sort_jnp
 from ..utils.hashing import hash_ratio, hashed_key
 
 
