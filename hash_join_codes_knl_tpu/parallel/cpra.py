@@ -43,6 +43,26 @@ def pack_by_owner(keys, vals, owner, n_owners: int, cap: int):
     return bk, bv, counts
 
 
+def pack_by_owner_radix(keys, vals, factor: int, c_bits: int,
+                        interpret: bool = False):
+    """Owner pack through ONE bounded-fanout Pallas radix pass -- the
+    regime where the histogram+scatter kernel beats the fused sort
+    (0.49 s vs 1.31 s per 256M tuples at <=64-way on v5e;
+    ops/radix_partition_pallas.py docstring).
+
+    Owner chip = top c_bits of hk = key*factor, exactly the pass's own
+    partition function, so the pass IS the pack.  Buckets come back
+    zero-interleaved at the pass's capacity (every consumer masks null
+    keys), carrying hk -- the caller multiplies by the modular inverse
+    after the exchange to restore raw keys.  Returns
+    (bucket_hk (C*capr,), bucket_vals, counts (C,), overflow)."""
+    from ..ops.radix_partition_pallas import radix_partition_pallas
+    from ..utils.hashing import hashed_key as _hk
+
+    hk = _hk(keys, factor)
+    return radix_partition_pallas(hk, vals, c_bits, interpret=interpret)
+
+
 def _owner_bits(n_chips: int) -> int:
     bits = (n_chips - 1).bit_length()
     if 1 << bits != n_chips:
@@ -85,6 +105,7 @@ def make_cpra_step(
     heavy_frac: float = 1 / 256,
     heavy_build_cap: int = 256,
     tier_ratio: float | None = None,
+    pack_impl: str = "sort",
 ):
     """Build the jitted distributed join step for `mesh`.
 
@@ -95,6 +116,12 @@ def make_cpra_step(
     halves at cut=(1-ratio)*100 -- the DDR/MCDRAM placement knob
     re-expressed as a device-group placement policy (SURVEY.md K13 row) --
     then a second hash picks the chip within the half.
+    pack_impl: "sort" (fused-sort pack into inner_cap/outer_cap buckets)
+    or "radix" (ONE bounded-fanout Pallas histogram+scatter pass as the
+    pack -- the kernel's measured winning regime at <=64-way; bucket
+    capacity is the pass's own, caps are ignored, zero-interleaved
+    buckets carry hk and keys are restored after the exchange).  Tier
+    routing requires "sort" (the tier hash is not a top-bits partition).
     Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, overflow flag): inputs
     sharded along `axis`, result leaves chip-local (the aligned join output
     never needs to be gathered).  With skew=True, `heavy` is the local-heavy
@@ -139,19 +166,42 @@ def make_cpra_step(
             overflow |= hb_cnt > heavy_build_cap
             ik = jnp.where(i_heavy, jnp.uint32(0), ik)
             ok = jnp.where(o_heavy, jnp.uint32(0), ok)
-        owner_of = _make_owner_of(plan, n_chips, c_bits, tier_ratio)
-        i_owner = owner_of(ik)
-        o_owner = owner_of(ok)
-        bik, biv, icnt = pack_by_owner(ik, iv, i_owner, n_chips, inner_cap)
-        bok, bov, ocnt = pack_by_owner(ok, ov, o_owner, n_chips, outer_cap)
-        overflow |= jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
         # the re-aggregation memcpy (cpra2.cpp:1896-1904) as one collective
         a2a = functools.partial(
             jax.lax.all_to_all, axis_name=axis, split_axis=0, concat_axis=0,
             tiled=True,
         )
-        rik, riv = a2a(bik.reshape(-1)), a2a(biv.reshape(-1))
-        rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
+        if pack_impl == "radix" and not use_tiers and c_bits > 0:
+            # bounded-fanout Pallas pass as the pack (its measured
+            # winning regime); buckets carry hk, zero-interleaved at the
+            # pass's own capacity -- raw keys restored after the
+            # exchange by the modular inverse
+            interp = jax.devices()[0].platform == "cpu"
+            bik, biv, icnt, iovf = pack_by_owner_radix(
+                ik, iv, plan.factor, c_bits, interpret=interp
+            )
+            bok, bov, ocnt, oovf = pack_by_owner_radix(
+                ok, ov, plan.factor, c_bits, interpret=interp
+            )
+            overflow |= (iovf != 0) | (oovf != 0)
+            from ..utils.hashing import mod_inverse_u32
+
+            inv = jnp.uint32(mod_inverse_u32(plan.factor))
+            rik = a2a(bik.reshape(-1)) * inv
+            riv = a2a(biv.reshape(-1))
+            rok = a2a(bok.reshape(-1)) * inv
+            rov = a2a(bov.reshape(-1))
+        else:
+            owner_of = _make_owner_of(plan, n_chips, c_bits, tier_ratio)
+            i_owner = owner_of(ik)
+            o_owner = owner_of(ok)
+            bik, biv, icnt = pack_by_owner(ik, iv, i_owner, n_chips,
+                                           inner_cap)
+            bok, bov, ocnt = pack_by_owner(ok, ov, o_owner, n_chips,
+                                           outer_cap)
+            overflow |= jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
+            rik, riv = a2a(bik.reshape(-1)), a2a(biv.reshape(-1))
+            rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
         res = phj_join(rik, riv, rok, rov, local_plan)
         # fold in the engine's own overflow signals: merge mode reports
         # window-overflow tiles in build_counts[0], the padded path reports

@@ -135,3 +135,53 @@ def test_cpra_overflow_auto_retry():
     res, _ = cpra_join(ik, iv, ok, ov, mesh, plan, slack=1.0, retries=3)
     want = multiset_digest(*join_oracle(ik, iv, ok, ov))
     assert _digest_aligned(res) == want
+
+
+def test_cpra_radix_pack_matches_sort_pack():
+    """pack_impl='radix' routes the exchange through the bounded-fanout
+    Pallas pass (interpret mode on the CPU mesh); results must equal the
+    sort-pack step and the oracle."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan
+    from hash_join_codes_knl_tpu.engine.oracle import (
+        join_oracle,
+        multiset_digest,
+    )
+    from hash_join_codes_knl_tpu.parallel.cpra import make_cpra_step
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+
+    inner, outer, _ = generate(seed=73, inner_tuples=2048,
+                               outer_tuples=8192, mode="uniform",
+                               prefer_native=False)
+    mesh = jax.make_mesh((4,), ("x",))
+    plan = JoinPlan(p_bits=4, slots=256, tile=128, pass_bits=(4,))
+    sh = NamedSharding(mesh, P("x"))
+    dev = lambda x: jax.device_put(np.asarray(x), sh)
+    args = (dev(inner.keys), dev(inner.vals), dev(outer.keys),
+            dev(outer.vals))
+    want = multiset_digest(
+        *join_oracle(inner.keys, inner.vals, outer.keys, outer.vals)
+    )
+
+    def digest(res):
+        mc = np.asarray(res.match_cnts).reshape(-1)
+        m = mc == 1
+        return multiset_digest(
+            np.asarray(res.probe_keys).reshape(-1)[m],
+            np.asarray(res.probe_vals).reshape(-1)[m],
+            np.asarray(res.match_vals).reshape(-1)[m],
+        )
+
+    step_r = make_cpra_step(mesh, plan, inner_cap=2048, outer_cap=8192,
+                            pack_impl="radix")
+    res_r, _, ovf_r = step_r(*args)
+    assert not bool(ovf_r)
+    assert digest(res_r) == want
+
+    step_s = make_cpra_step(mesh, plan, inner_cap=2048, outer_cap=8192)
+    res_s, _, ovf_s = step_s(*args)
+    assert not bool(ovf_s)
+    assert digest(res_s) == want
