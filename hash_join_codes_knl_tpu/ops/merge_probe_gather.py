@@ -86,16 +86,19 @@ def _gather_row_result_factory(w_chunks: int):
             csc = jnp.clip(cs, 0, w_chunks - 1)
             cec = jnp.clip(ce, 0, w_chunks - 1)
             middle = jnp.maximum(cec - csc - 1, 0)  # full chunks of the key
-            # gather chunks cs and ce: out[s, p] = wkT[s, c[p]]
+            # gather chunks cs and ce: out[s, p] = wkT[s, c[p]].  The cs
+            # block completes (gather -> eq -> sum) before the ce block
+            # starts: shorter live ranges schedule better under Mosaic
             cc_s = jnp.broadcast_to(csc, (128, 128))
-            cc_e = jnp.broadcast_to(cec, (128, 128))
             gk_s = jnp.take_along_axis(bndT, cc_s, axis=1)  # (128s,128p)
+            eq_s = gk_s == ok
+            cnt_s = jnp.sum(eq_s.astype(jnp.int32), axis=0, keepdims=True)
+            cc_e = jnp.broadcast_to(cec, (128, 128))
             gk_e = jnp.take_along_axis(bndT, cc_e, axis=1)
             gv_e = jnp.take_along_axis(wvT, cc_e, axis=1)
-            eq_s = gk_s == ok
             eq_e = gk_e == ok
             cnt = (
-                jnp.sum(eq_s.astype(jnp.int32), axis=0, keepdims=True)
+                cnt_s
                 + 128 * middle
                 + jnp.where(
                     cec > csc,
