@@ -101,9 +101,10 @@ def main(argv=None):
                         "monotonicity; phj.cpp:1034-1041,1214-1229)")
     p.add_argument("--config", metavar="FILE", default=None,
                    help="JSON file of JoinPlan fields (p_bits, slots, "
-                        "tile, window, pass_bits, partition_impl, "
-                        "probe_impl, factor) -- the runtime form of the "
-                        "reference's compile-time -D knobs (makefile:1-4)")
+                        "tile, window, probe_chunks, pass_bits, "
+                        "partition_impl, probe_impl, factor) -- the "
+                        "runtime form of the reference's compile-time "
+                        "-D knobs (makefile:1-4)")
     args = p.parse_args(argv)
 
     if args.algorithm == "write":
