@@ -78,13 +78,26 @@ class NpjPlan:
         probe views the table as (rows, 128))."""
         return -(-(self.buckets + self.margin) // 128) * 128
 
+    # scoped-vmem budget for the probe kernel's unrolled (row x chunk)
+    # loop, in row-chunks: 24 rows x 121 chunks is the widest measured-
+    # compilable geometry (engine/phj.py GATHER_MAX_CHUNKS); beyond the
+    # derived window the driver raises a clear overflow error instead of
+    # handing the compiler an OOM-sized kernel
+    ROWCHUNK_BUDGET = 24 * 121
+
+    @property
+    def max_window(self) -> int:
+        chunks = max(3, self.ROWCHUNK_BUDGET // max(1, self.tile // 128))
+        return chunks * 128
+
     def auto_window(self, probes: int) -> int:
         """Window for the sorted probe: expected home-bucket span of one
         probe tile (tile/probes of the bucket range) + parking-displacement
-        and order-statistic margins, clamped to the table size."""
+        and order-statistic margins, clamped to the table size and the
+        compilable window ceiling."""
         lam = self.tile * self.buckets / max(probes, 1)
         w = int(lam + 8 * (lam ** 0.5) + 384)
-        return min(-(-w // 128) * 128, self.table_size)
+        return min(-(-w // 128) * 128, self.table_size, self.max_window)
 
 
 def plan_npj(inner_n: int, load: float = 0.5) -> NpjPlan:
@@ -240,7 +253,7 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
     if plan.probe_impl == "chain":
         mv, mc = npj_probe(tk, tv, ok, plan)
         return mv, mc, plan
-    size_cap = plan.table_size
+    size_cap = min(plan.table_size, plan.max_window)
     window = plan.window or plan.auto_window(len(ok))
     for _ in range(window_retries + 1):
         mv, mc, wovf = npj_probe_sorted(tk, tv, ok, plan, max_disp, window)
@@ -250,6 +263,11 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
         # estimate; past that, double
         window = min(max(2 * window, plan.auto_window(len(ok))), size_cap)
     if int(wovf) != 0:
-        raise RuntimeError("sorted-probe window overflow persists at the "
-                           "table-size window")
+        raise RuntimeError(
+            "sorted-probe window overflow persists at the widest "
+            "compilable window: tile spans exceed the dense sweep's "
+            "range (very small probe counts against a large table) -- "
+            "use the PHJ merge engine for this shape, or raise the load "
+            "factor to shrink the bucket range"
+        )
     return mv, mc, dataclasses.replace(plan, window=window)

@@ -120,6 +120,10 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
         window = int(
             max(384, lam + 8 * (lam ** 0.5) + 8 * lam / (tile ** 0.5) + 520)
         )
+        if chunks > 1:
+            # stay within the proven kernel geometry; if the true spans
+            # need more, the counted overflow re-plans with fewer chunks
+            window = min(window, GATHER_MAX_CHUNKS * 128)
     window = -(-window // 128) * 128
     rows_total = max(-(-ni // 128), window // 128)
     return tile, window, rows_total, cap
@@ -197,6 +201,12 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
 # 1280=0.57s; gather 1280=0.29s but PATHOLOGICAL at 640 (1.09s --
 # Mosaic's tiny-lane-dim transpose path).  Gather from 10 chunks up.
 GATHER_MIN_CHUNKS = 10
+# VMEM ceiling: the unrolled row loop keeps per-row kernel temporaries
+# live on Mosaic's scoped-vmem stack; at tile 3072 (24 rows) a
+# 126-chunk window FAILED to compile (21.4M > 16M scoped vmem) while
+# the production 121-chunk window fits.  Auto windows clamp here and
+# the overflow/re-plan path shrinks probe_chunks instead.
+GATHER_MAX_CHUNKS = 121
 
 
 def _merge_impl(plan: JoinPlan, window: int) -> str:
@@ -208,7 +218,7 @@ def _merge_impl(plan: JoinPlan, window: int) -> str:
     if impl == "merge":
         if not _on_tpu():
             return "merge_jnp"
-        if GATHER_MIN_CHUNKS * 128 <= window <= 128 * 128:
+        if GATHER_MIN_CHUNKS * 128 <= window <= GATHER_MAX_CHUNKS * 128:
             return "merge_gather"
         return "merge_pallas"
     return impl
@@ -450,7 +460,7 @@ def join(
     )
     res = phj_join(*args, plan)
     if plan.probe_impl.startswith("merge"):
-        GATHER_CAP = 128 * 128  # widest gather-kernel window
+        GATHER_CAP = GATHER_MAX_CHUNKS * 128  # widest proven gather window
         for _ in range(window_retries):
             if int(res.build_counts[0]) == 0:
                 break

