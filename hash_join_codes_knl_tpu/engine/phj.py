@@ -474,8 +474,16 @@ def join(
             C = max(1, plan.probe_chunks)
             want = -(-int(span * 1.25 + 384) // 128) * 128
             if C > 1 and want > GATHER_CAP:
-                newC = max(1, int(C * GATHER_CAP / want))
-                want = -(-int(span * 1.25 * newC / C + 384) // 128) * 128
+                # shrink the chunk count so the re-derived window fits
+                # STRICTLY under the gather cap (spans scale ~linearly
+                # with C); a window even one chunk past the cap silently
+                # drops to the dense sweep, which is pathological at
+                # these widths
+                newC = max(1, int(C * (GATHER_CAP - 511) / (1.25 * span)))
+                want = min(
+                    GATHER_CAP,
+                    -(-int(span * 1.25 * newC / C + 384) // 128) * 128,
+                )
                 plan = dataclasses.replace(plan, probe_chunks=newC,
                                            window=want)
             else:
