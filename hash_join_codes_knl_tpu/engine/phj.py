@@ -437,6 +437,29 @@ def _phj_join_padded_radix(inner_keys, inner_vals, outer_keys, outer_vals,
     return JoinResult(pk * inv, pv, mv, mc, counts_plus)
 
 
+def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
+    """Next plan after a merge-probe window overflow, sized from the
+    MEASURED max required span (build_counts[1]) instead of blind
+    doubling (NEXT.md #5).  Spans scale ~linearly with the chunk count,
+    so if even a padded span busts the gather cap, probe_chunks shrinks
+    proportionally first -- the re-derived window must land STRICTLY
+    under the cap (one chunk past it silently drops to the dense sweep,
+    pathological at these widths).  Shared by the single-chip `join` and
+    the distributed `cpra_join` re-planners."""
+    GATHER_CAP = GATHER_MAX_CHUNKS * 128  # widest proven gather window
+    span = max(int(span), 128)
+    C = max(1, plan.probe_chunks)
+    want = -(-int(span * 1.25 + 384) // 128) * 128
+    if C > 1 and want > GATHER_CAP:
+        newC = max(1, int(C * (GATHER_CAP - 511) / (1.25 * span)))
+        want = min(
+            GATHER_CAP,
+            -(-int(span * 1.25 * newC / C + 384) // 128) * 128,
+        )
+        return dataclasses.replace(plan, probe_chunks=newC, window=want)
+    return dataclasses.replace(plan, window=want)
+
+
 def join(
     inner_keys, inner_vals, outer_keys, outer_vals,
     plan: JoinPlan | None = None, window_retries: int = 3,
@@ -460,34 +483,12 @@ def join(
     )
     res = phj_join(*args, plan)
     if plan.probe_impl.startswith("merge"):
-        GATHER_CAP = GATHER_MAX_CHUNKS * 128  # widest proven gather window
         for _ in range(window_retries):
             if int(res.build_counts[0]) == 0:
                 break
-            # size the next geometry from the MEASURED max required span
-            # (build_counts[1]) instead of blind doubling: one re-plan
-            # usually suffices (NEXT.md #5).  Spans scale ~linearly with
-            # the chunk count, so if even a padded span busts the gather
-            # cap, shrink probe_chunks proportionally first.
             span = int(res.build_counts[1])
             res = None  # free the failed attempt's buffers before retrying
-            C = max(1, plan.probe_chunks)
-            want = -(-int(span * 1.25 + 384) // 128) * 128
-            if C > 1 and want > GATHER_CAP:
-                # shrink the chunk count so the re-derived window fits
-                # STRICTLY under the gather cap (spans scale ~linearly
-                # with C); a window even one chunk past the cap silently
-                # drops to the dense sweep, which is pathological at
-                # these widths
-                newC = max(1, int(C * (GATHER_CAP - 511) / (1.25 * span)))
-                want = min(
-                    GATHER_CAP,
-                    -(-int(span * 1.25 * newC / C + 384) // 128) * 128,
-                )
-                plan = dataclasses.replace(plan, probe_chunks=newC,
-                                           window=want)
-            else:
-                plan = dataclasses.replace(plan, window=want)
+            plan = replan_from_span(plan, span)
             res = phj_join(*args, plan)
         else:
             if int(res.build_counts[0]) != 0:

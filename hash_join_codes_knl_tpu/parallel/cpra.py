@@ -63,6 +63,32 @@ def pack_by_owner_radix(keys, vals, factor: int, c_bits: int,
     return radix_partition_pallas(hk, vals, c_bits, interpret=interpret)
 
 
+def _engine_overflow(res, local_plan):
+    """The local join engine's own overflow signal as a COUNT (0 = clean).
+
+    merge mode: count of window-overflow tiles (build_counts[0]);
+    padded radix mode: the multipass pass-overflow flag appended as the
+    LAST build_counts entry -- the per-partition counts there are
+    measured against the pass's own region capacity, NOT plan.slots, so
+    comparing them to slots both misses real pass overflows and
+    false-positives on legitimate counts;
+    padded sort mode: number of partitions past `slots` (dropped tuples).
+    """
+    if local_plan.probe_impl.startswith("merge"):
+        return res.build_counts[0]
+    if local_plan.partition_impl == "radix":
+        return res.build_counts[-1]
+    return jnp.sum((res.build_counts > local_plan.slots).astype(jnp.int32))
+
+
+def _engine_span(res, local_plan):
+    """Measured max required probe-window span (merge mode only; 0
+    elsewhere) -- the re-planner input (engine/phj.py replan_from_span)."""
+    if local_plan.probe_impl.startswith("merge"):
+        return res.build_counts[1]
+    return jnp.zeros((), jnp.int32)
+
+
 def _owner_bits(n_chips: int) -> int:
     bits = (n_chips - 1).bit_length()
     if 1 << bits != n_chips:
@@ -122,9 +148,13 @@ def make_cpra_step(
     capacity is the pass's own, caps are ignored, zero-interleaved
     buckets carry hk and keys are restored after the exchange).  Tier
     routing requires "sort" (the tier hash is not a top-bits partition).
-    Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, overflow flag): inputs
+    Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, diag): inputs
     sharded along `axis`, result leaves chip-local (the aligned join output
-    never needs to be gathered).  With skew=True, `heavy` is the local-heavy
+    never needs to be gathered).  diag is a replicated (3,) int32 vector
+    [exchange-cap overflow count, engine (window/table) overflow count,
+    max required probe-window span] -- the two overflow sources are
+    reported separately because their fixes differ (more exchange slack
+    vs a measured-span window re-plan).  With skew=True, `heavy` is the local-heavy
     row set (probe_vals, match_vals, match_cnts aligned to the local probe
     shard + its keys) produced by heavy-hitter replication (parallel/skew.py);
     otherwise it is None.
@@ -134,6 +164,15 @@ def make_cpra_step(
     n_chips = mesh.shape[axis]
     c_bits = _owner_bits(n_chips)
     use_tiers = tier_ratio is not None and n_chips >= 2
+    if pack_impl == "radix" and use_tiers:
+        # the radix pass routes by top hash bits; the tier hash is a
+        # two-level 100-bin split that no bit prefix expresses.  Refuse
+        # loudly instead of silently falling back to the sort pack.
+        raise ValueError(
+            "pack_impl='radix' is incompatible with tier_ratio: the "
+            "tier hash is not a top-bits partition -- use the sort pack "
+            "for tiered placement"
+        )
     # local partitioning consumes the hash bits BELOW the owner bits --
     # within one owner, the top c_bits are constant and carry no
     # information.  Tier routing hashes with an independent second factor
@@ -203,15 +242,20 @@ def make_cpra_step(
             rik, riv = a2a(bik.reshape(-1)), a2a(biv.reshape(-1))
             rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
         res = phj_join(rik, riv, rok, rov, local_plan)
-        # fold in the engine's own overflow signals: merge mode reports
-        # window-overflow tiles in build_counts[0], the padded path reports
-        # per-partition table occupancy
-        if local_plan.probe_impl.startswith("merge"):
-            overflow |= res.build_counts[0] > 0
-        else:
-            overflow |= jnp.any(res.build_counts > local_plan.slots)
-        overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
-        return res, heavy, overflow
+        # diag = [exchange-cap overflow count, engine overflow count,
+        # max required probe span]: the two overflow sources stay
+        # SEPARATE so the caller can re-plan each correctly (exchange ->
+        # more slack; window -> replan_from_span from the measured span)
+        diag = jnp.stack([
+            jax.lax.psum(overflow.astype(jnp.int32), axis),
+            jax.lax.psum(
+                _engine_overflow(res, local_plan).astype(jnp.int32), axis
+            ),
+            jax.lax.pmax(
+                _engine_span(res, local_plan).astype(jnp.int32), axis
+            ),
+        ])
+        return res, heavy, diag
 
     spec = P(axis)
     heavy_spec = (spec, spec, spec, spec) if skew else None
@@ -270,10 +314,7 @@ def make_cpra_steps_staged(
 
     def local_join(rik, riv, rok, rov):
         res = phj_join(rik, riv, rok, rov, local_plan)
-        if local_plan.probe_impl.startswith("merge"):
-            overflow = res.build_counts[0] > 0
-        else:
-            overflow = jnp.any(res.build_counts > local_plan.slots)
+        overflow = _engine_overflow(res, local_plan) > 0
         overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
         return res, overflow
 
@@ -450,13 +491,10 @@ def make_cpra_step_2level(
         ik, iv = exchange(ik, iv, chip_axis, C, c_bits, h_bits, inner_cap)
         ok, ov = exchange(ok, ov, chip_axis, C, c_bits, h_bits, outer_cap)
         res = phj_join(ik, iv, ok, ov, local_plan)
-        if local_plan.probe_impl.startswith("merge"):
-            overflow |= res.build_counts[0] > 0
-        else:
-            # padded path: a build partition past `slots` drops tuples --
-            # that must surface as overflow here exactly as in
-            # make_cpra_step (overflows are values, never silent)
-            overflow |= jnp.any(res.build_counts > local_plan.slots)
+        # engine overflow (window tiles / radix pass flag / table slots)
+        # must surface here exactly as in make_cpra_step -- overflows are
+        # values, never silent
+        overflow |= _engine_overflow(res, local_plan) > 0
         overflow = (
             jax.lax.psum(
                 jax.lax.psum(overflow.astype(jnp.int32), chip_axis),
@@ -500,10 +538,14 @@ def cpra_join(
     the return value (light JoinResult, heavy row set, plan); otherwise
     (JoinResult, plan).
 
-    Overflow (exchange caps or probe windows exceeded, e.g. under
-    unannounced skew) triggers up to `retries` re-plans with doubled
-    slack -- the recursive-split fallback of SURVEY.md section 7 stage 5;
-    persistent overflow raises with a pointer to skew handling."""
+    Overflow (e.g. under unannounced skew) triggers up to `retries`
+    re-plans, with the two overflow sources handled separately from the
+    step's diag vector: exchange-cap overflow doubles the slack, probe-
+    window overflow re-plans the window from the MEASURED max span
+    exactly like the single-chip `engine.phj.join` (replan_from_span) --
+    blind doubling could land BELOW the auto-estimated window and never
+    converge.  Persistent overflow raises with a pointer to skew
+    handling."""
     n_chips = mesh.shape[axis]
     ni, no = len(inner_keys), len(outer_keys)
     if plan is None:
@@ -534,6 +576,8 @@ def cpra_join(
     dev = lambda x: jax.device_put(jnp.asarray(x), sh)
     args = (dev(inner_keys), dev(inner_vals), dev(outer_keys),
             dev(outer_vals))
+    from ..engine.phj import replan_from_span
+
     for attempt in range(retries + 1):
         inner_cap = max(64, int(ni / (n_chips * n_chips) * slack * bias))
         outer_cap = max(
@@ -541,17 +585,27 @@ def cpra_join(
         )
         step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis,
                               skew=skew, tier_ratio=tier_ratio, **skew_kw)
-        res, heavy, overflow = step(*args)
-        if not bool(overflow):
+        res, heavy, diag = step(*args)
+        exch_ovf, eng_ovf, span = (int(diag[0]), int(diag[1]),
+                                   int(diag[2]))
+        if exch_ovf == 0 and eng_ovf == 0:
             if skew:
                 return res, heavy, plan
             return res, plan
-        # re-plan with doubled exchange capacity AND a doubled probe
-        # window (the flag folds both overflow sources together)
-        slack *= 2.0
-        plan = dataclasses.replace(
-            plan, window=2 * (plan.window or 512)
-        )
+        res = None  # free the failed attempt's buffers before retrying
+        if exch_ovf:
+            slack *= 2.0
+        if eng_ovf:
+            if not plan.probe_impl.startswith("merge"):
+                raise RuntimeError(
+                    "local join overflow on the padded path (table slots "
+                    "or radix pass capacity exceeded): raise plan.slots "
+                    "or the pass fanout -- window re-planning cannot fix "
+                    "this"
+                )
+            # size the next window from the measured span, shared with
+            # the single-chip re-planner
+            plan = replan_from_span(plan, span)
     raise RuntimeError(
         "exchange bucket overflow persists after re-planning: "
         "enable skew=True (heavy-hitter replication) for this workload"

@@ -38,28 +38,32 @@ def make_npj_step(mesh: Mesh, plan: NpjPlan, axis: str = "x",
                   probe_window: int = 0):
     """Jitted distributed NPJ step: (ik, iv, ok, ov) sharded along `axis`
     -> (match_vals, match_cnts aligned to the local outer shard,
-    join_tuples scalar, overflow scalar: build margin overflow +
-    sorted-probe window overflow folded together, psum'd)."""
+    join_tuples scalar, build_overflow scalar, window_overflow scalar).
+    The two overflow signals stay SEPARATE (psum'd each): a build-table
+    margin overflow can only be fixed by re-sizing the table, a sorted-
+    probe window overflow by widening the window -- folding them made the
+    driver burn window-doubling retries on unfixable build overflows."""
 
     def local_step(ik, iv, ok, ov):
         # build phase: replicate the build side (the "shared table"),
         # build the identical table on every chip
         gik = jax.lax.all_gather(ik, axis, tiled=True)
         giv = jax.lax.all_gather(iv, axis, tiled=True)
-        tk, tv, overflow, max_disp = npj_build(gik, giv, plan)
+        tk, tv, bovf, max_disp = npj_build(gik, giv, plan)
         # probe phase: local outer shard only, no communication
         if plan.probe_impl == "chain":
             mv, mc = npj_probe(tk, tv, ok, plan)
+            wovf = jnp.zeros((), jnp.int32)
         else:
             window = probe_window or plan.window or plan.auto_window(
                 ok.shape[0]
             )
             mv, mc, wovf = npj_probe_sorted(tk, tv, ok, plan, max_disp,
                                             window)
-            overflow = overflow + wovf
         total = jax.lax.psum(jnp.sum(mc.astype(jnp.uint32)), axis)
-        overflow = jax.lax.psum(overflow, axis)
-        return mv, mc, total, overflow
+        bovf = jax.lax.psum(bovf, axis)
+        wovf = jax.lax.psum(wovf, axis)
+        return mv, mc, total, bovf, wovf
 
     spec = P(axis)
     return jax.jit(
@@ -67,7 +71,7 @@ def make_npj_step(mesh: Mesh, plan: NpjPlan, axis: str = "x",
             local_step,
             mesh=mesh,
             in_specs=(spec, spec, spec, spec),
-            out_specs=(spec, spec, P(), P()),
+            out_specs=(spec, spec, P(), P(), P()),
             check_vma=False,
         )
     )
@@ -93,15 +97,22 @@ def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
     size_cap = min(plan.table_size, plan.max_window)
     for _ in range(4):  # sorted-probe window re-planning, as in npj_join
         step = make_npj_step(mesh, plan, axis, probe_window=window)
-        mv, mc, total, overflow = step(*args)
-        if int(overflow) == 0 or plan.probe_impl == "chain" or (
+        mv, mc, total, bovf, wovf = step(*args)
+        if int(bovf) > 0:
+            # a table-margin overflow cannot be fixed by window widening:
+            # fail immediately instead of burning recompile retries
+            raise RuntimeError(
+                f"NPJ build overflow: {int(bovf)} tuples past the table "
+                "margin; increase NpjPlan.margin or lower the load factor"
+            )
+        if int(wovf) == 0 or plan.probe_impl == "chain" or (
             window >= size_cap
         ):
             break
         window = min(2 * window, size_cap)
-    if int(overflow) > 0:
+    if int(wovf) > 0:
         raise RuntimeError(
-            "NPJ overflow persists (build table margin or probe window); "
-            "lower the load factor"
+            "NPJ sorted-probe window overflow persists at the widest "
+            "compilable window; use the PHJ merge engine for this shape"
         )
     return np.asarray(mv), np.asarray(mc), int(total), plan

@@ -74,8 +74,9 @@ def main():
         ok, ov = dev(outer.keys), dev(outer.vals)
 
         def run(r):
-            res, _, ovf = step(ik, iv, ok, ov ^ jnp.uint32(r))
-            assert not bool(ovf), "exchange overflow"
+            res, _, diag = step(ik, iv, ok, ov ^ jnp.uint32(r))
+            assert int(diag[0]) == 0, "exchange overflow"
+            assert int(diag[1]) == 0, "window overflow"
             return int(np.asarray(res.join_tuples).sum())
 
         jt = run(0)

@@ -137,6 +137,34 @@ def test_cpra_overflow_auto_retry():
     assert _digest_aligned(res) == want
 
 
+def test_cpra_window_replan_from_measured_span():
+    """Distributed chunked-geometry skew: a heavy duplicate run in the
+    build side makes the required probe-window span (~3000 slots) exceed
+    the auto window, and the re-planner must size the next window from
+    the MEASURED span reported in the step diag.  The old blind doubling
+    (window = 2*(plan.window or 512) = 1024 < the auto estimate) cannot
+    converge within one retry; replan_from_span does."""
+    rng = np.random.default_rng(97)
+    ik = np.unique(rng.integers(1, 2**32, 6000, dtype=np.uint32))[:4096]
+    hot = ik[123]
+    # one build key duplicated 3000x: every probe tile containing it
+    # needs a window covering the whole run
+    ik_dup = np.concatenate([ik, np.full(3000, hot, np.uint32)])
+    iv = rng.integers(0, 2**32, len(ik_dup), dtype=np.uint32)
+    ok = ik[rng.integers(0, 4096, 32768)].astype(np.uint32)
+    ok[::64] = hot  # spread hot probes over many tiles
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    mesh = jax.make_mesh((2,), ("x",))
+    plan = JoinPlan(p_bits=4, slots=1024, tile=256, pass_bits=(4,),
+                    probe_chunks=4)
+    res, got_plan = cpra_join(ik_dup, iv, ok, ov, mesh, plan, slack=4.0,
+                              retries=1)
+    want_rows = len(join_oracle(ik_dup, iv, ok, ov)[0])
+    assert int(np.asarray(res.join_tuples).sum()) == want_rows
+    # the re-planner must have consumed the measured span (>= run length)
+    assert got_plan.window >= 3000
+
+
 def test_cpra_radix_pack_matches_sort_pack():
     """pack_impl='radix' routes the exchange through the bounded-fanout
     Pallas pass (interpret mode on the CPU mesh); results must equal the
@@ -177,11 +205,11 @@ def test_cpra_radix_pack_matches_sort_pack():
 
     step_r = make_cpra_step(mesh, plan, inner_cap=2048, outer_cap=8192,
                             pack_impl="radix")
-    res_r, _, ovf_r = step_r(*args)
-    assert not bool(ovf_r)
+    res_r, _, diag_r = step_r(*args)
+    assert int(diag_r[0]) == 0 and int(diag_r[1]) == 0
     assert digest(res_r) == want
 
     step_s = make_cpra_step(mesh, plan, inner_cap=2048, outer_cap=8192)
-    res_s, _, ovf_s = step_s(*args)
-    assert not bool(ovf_s)
+    res_s, _, diag_s = step_s(*args)
+    assert int(diag_s[0]) == 0 and int(diag_s[1]) == 0
     assert digest(res_s) == want
