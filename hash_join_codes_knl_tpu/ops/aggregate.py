@@ -2,9 +2,21 @@
 
 The BASELINE operator set requires a hash aggregate on join output
 (BASELINE.json north star).  TPU-first design: no hash table at all --
-sort-group-reduce.  One fused lax.sort groups equal keys, run boundaries
-come from neighbor compares, and the reduction is a segment sum over run
-ids.  Aggregates are exact u32 wraparound sums / counts (the engine's value
+sort-group-reduce, with NO scatter and NO gather anywhere (PERF_NOTES.md
+measures XLA scatter-add at 2.27 s and gather at ~115M elem/s for 256M
+rows on v5e -- both unusable at join-output scale):
+
+1. one fused sort groups equal keys (nulls last),
+2. an inclusive cumsum turns per-run sums into differences of the
+   cumsum at run boundaries; each run-START row locally computes the
+   "prefix before me" (csum[i] - v[i]) -- no boundary lookups needed,
+3. a second stable sort compacts the run-start rows to the front (the
+   standard sort-based compaction, as ops/filter.py), and
+4. group totals fall out as neighbor differences of the compacted
+   prefix column: sum_j = prefix_{j+1} - prefix_j (the last group
+   closes against the grand total).
+
+Aggregates are exact u32 wraparound sums / counts (the engine's value
 domain), packed to the front like every compacted output.
 """
 
@@ -26,19 +38,37 @@ def hash_aggregate(keys: jnp.ndarray, vals: jnp.ndarray):
     n = keys.shape[0]
     # sort null keys last: flag is the primary sort key
     null = (keys == PAD_KEY).astype(jnp.uint32)
-    _, k_s, v_s = jax.lax.sort((null, keys, vals), num_keys=2, is_stable=True)
-    j = jnp.arange(n, dtype=jnp.int32)
-    newrun = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
-    newrun &= k_s != PAD_KEY
-    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # nulls sort last, dropped via seg
+    _, k_s, v_s = jax.lax.sort((null, keys, vals), num_keys=2,
+                               is_stable=True)
     valid = k_s != PAD_KEY
-    seg = jnp.where(valid, run_id, n)
-    sums = jnp.zeros(n, jnp.uint32).at[seg].add(v_s, mode="drop")
-    counts = jnp.zeros(n, jnp.int32).at[seg].add(
-        valid.astype(jnp.int32), mode="drop"
-    )
-    gkeys = jnp.full(n, PAD_KEY, jnp.uint32).at[seg].set(k_s, mode="drop")
+    newrun = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
+    newrun &= valid
+    v_live = jnp.where(valid, v_s, jnp.uint32(0))
+    csum = jnp.cumsum(v_live, dtype=jnp.uint32)  # u32 wraparound is exact
+    ccnt = jnp.cumsum(valid.astype(jnp.uint32), dtype=jnp.uint32)
+    # each run-start row carries the cumsum BEFORE its run -- computed
+    # locally (csum[i] - v[i]), so no cross-row lookup is ever needed
+    pre_sum = csum - v_live
+    pre_cnt = ccnt - valid.astype(jnp.uint32)
+    # compact run starts to the front, preserving key order (stable sort
+    # on the start flag); their prefix columns ride along
+    flag = jnp.where(newrun, jnp.uint32(0), jnp.uint32(1))
+    _, gk, ps, pc = jax.lax.sort((flag, k_s, pre_sum, pre_cnt),
+                                 num_keys=1, is_stable=True)
     n_groups = jnp.sum(newrun.astype(jnp.uint32))
+    # group j's total = prefix of group j+1 minus its own prefix; the
+    # last group closes against the grand totals
+    tot_s = csum[n - 1]
+    tot_c = ccnt[n - 1]
+    nxt_s = jnp.concatenate([ps[1:], ps[-1:]])
+    nxt_c = jnp.concatenate([pc[1:], pc[-1:]])
+    j = jnp.arange(n, dtype=jnp.uint32)
+    sums = jnp.where(j + 1 < n_groups, nxt_s - ps, tot_s - ps)
+    counts = jnp.where(j + 1 < n_groups, nxt_c - pc, tot_c - pc)
+    live = j < n_groups
+    gkeys = jnp.where(live, gk, jnp.uint32(PAD_KEY))
+    sums = jnp.where(live, sums, jnp.uint32(0))
+    counts = jnp.where(live, counts, jnp.uint32(0)).astype(jnp.int32)
     return n_groups, gkeys, sums, counts
 
 
