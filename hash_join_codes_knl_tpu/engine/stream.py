@@ -14,11 +14,16 @@ compute (double buffering).
 Checkpoint/resume (engine/spill.py): each completed chunk spills its
 result columns (match_vals, match_cnts -- the probe columns in chunk-
 sorted order are deterministic replays of the input chunk, so they are
-not duplicated on disk) plus a sidecar with the chunk input checksum
-and join count.  A restarted run re-verifies the sidecar/columns and
-skips completed chunks; corrupted or missing spill recomputes that
-chunk.  Every chunk is a pure function of (build order, chunk rows), so
-rerun-from-last-chunk is always sound.
+not duplicated on disk) plus a sidecar with the chunk input checksum,
+join count, and the PLAN FINGERPRINT (factor, probe_chunks, cap) that
+determines the spilled row order -- a re-run under a different plan
+recomputes instead of resuming misaligned columns.  A restarted run
+re-verifies the sidecar/columns and skips completed chunks (the
+on_chunk hook receives a SpilledChunk carrying the verified columns;
+`replay_probe_columns` reconstructs the matching probe columns on
+demand); corrupted or missing spill recomputes that chunk.  Every chunk
+is a pure function of (build order, chunk rows), so rerun-from-last-
+chunk is always sound.
 
 This is the single-chip path to BASELINE config-5 scale (1B-row probe
 sides): HBM holds only the build order + two in-flight chunks.
@@ -47,6 +52,19 @@ class ChunkMeta:
     join_tuples: int
     resumed: bool
     window_overflow: int
+
+
+@dataclasses.dataclass
+class SpilledChunk:
+    """Checksum-verified result columns of a chunk resumed from spill,
+    handed to on_chunk in place of the live JoinResult.  The aligned
+    probe columns are deterministic replays of the input chunk: use
+    `replay_probe_columns(chunk_keys, chunk_vals, plan, cap)` to
+    reconstruct them, giving consumers the full aligned result without
+    re-running the probe."""
+
+    match_vals: np.ndarray  # (cap,) u32, chunk-sorted order
+    match_cnts: np.ndarray  # (cap,) int32
 
 
 @dataclasses.dataclass
@@ -79,23 +97,62 @@ def _spill_chunk(d: str, k: int, mval, mcnt, meta: dict) -> None:
         json.dump(meta, f)
 
 
+def _plan_fingerprint(plan: JoinPlan, cap: int) -> dict:
+    """The plan fields that determine the spilled columns' ROW ORDER:
+    the chunk-sorted layout depends on the scramble factor, the probe
+    chunk count, and the padded capacity (tile/window only shape the
+    probe geometry, not the output order)."""
+    return {"factor": plan.factor,
+            "probe_chunks": max(1, plan.probe_chunks), "cap": cap}
+
+
 def _try_resume_chunk(d: str, k: int, input_checksum: int, rows: int,
-                      cap: int):
-    """Returns the sidecar meta if chunk k's spill is present, matches
-    this input, and passes the column checksums; else None."""
+                      cap: int, plan: JoinPlan):
+    """Returns (sidecar meta, SpilledChunk) if chunk k's spill is
+    present, matches this input AND this plan's row-order fingerprint,
+    and passes the column checksums; else None.  A fingerprint mismatch
+    (e.g. a re-run with a different factor or probe_chunks) recomputes:
+    the spilled columns' chunk-sorted order came from the OLD plan and
+    would misalign on_chunk consumers that replay the layout."""
     try:
         with open(_sidecar_path(d, k)) as f:
             meta = json.load(f)
         if meta["input_checksum"] != input_checksum or meta["rows"] != rows:
+            return None
+        fp = _plan_fingerprint(plan, cap)
+        if {key: meta.get(key) for key in fp} != fp:
             return None
         mval = _read_u32(os.path.join(d, f"chunk_{k:06d}_mval.bin"), cap)
         mcnt = _read_u32(os.path.join(d, f"chunk_{k:06d}_mcnt.bin"), cap)
         if (_chunk_checksum(mval) != meta["mval_checksum"]
                 or _chunk_checksum(mcnt) != meta["mcnt_checksum"]):
             return None
-        return meta
+        return meta, SpilledChunk(mval, mcnt.astype(np.int32))
     except (OSError, ValueError, KeyError):
         return None
+
+
+def replay_probe_columns(chunk_keys, chunk_vals, plan: JoinPlan, cap: int):
+    """Reconstruct the aligned probe columns (probe_keys, probe_vals) of
+    a chunk -- the deterministic chunk-sorted replay that the spill
+    intentionally does not duplicate on disk.  Combined with a
+    SpilledChunk's match columns this is the chunk's full JoinResult."""
+    from ..utils.hashing import hashed_key, mod_inverse_u32
+
+    ck = np.zeros(cap, np.uint32)
+    cv = np.zeros(cap, np.uint32)
+    ck[: len(chunk_keys)] = chunk_keys
+    cv[: len(chunk_vals)] = chunk_vals
+    chunks = max(1, plan.probe_chunks)
+    hk_s, v_s = jax.lax.sort(
+        (hashed_key(jnp.asarray(ck), plan.factor).reshape(chunks, -1),
+         jnp.asarray(cv).reshape(chunks, -1)),
+        dimension=1, num_keys=1,
+    )
+    hk = np.asarray(hk_s).reshape(-1)
+    inv = np.uint32(mod_inverse_u32(plan.factor))
+    pk = (hk.astype(np.uint64) * inv % (1 << 32)).astype(np.uint32)
+    return pk, np.asarray(v_s).reshape(-1)
 
 
 def stream_join(
@@ -114,9 +171,12 @@ def stream_join(
     outer_keys/outer_vals: host numpy arrays or np.memmap -- only
     `chunk_rows` of each are ever device-resident (plus the in-flight
     next chunk).  spill_dir enables checkpoint/resume.  on_chunk, if
-    given, is called with (ChunkMeta, JoinResult-or-None) per chunk
-    (None when the chunk was resumed from spill) -- the hook for
-    consumers that materialize rows instead of counting them.
+    given, is called with (ChunkMeta, payload) per chunk: a live
+    JoinResult for computed chunks, a SpilledChunk (the verified match
+    columns; probe columns via replay_probe_columns) for resumed ones --
+    so consumers that materialize rows can complete a resumed run
+    without recomputing any probe.  Prefetch skips over resumed chunks:
+    the next chunk that will actually COMPUTE is the one in flight.
     """
     ni = len(inner_keys)
     no = len(outer_keys)
@@ -146,28 +206,47 @@ def stream_join(
         # async H2D: returns immediately, the copy overlaps compute
         return jax.device_put(ck), jax.device_put(cv)
 
+    # resolve each chunk's resume status host-side (cheap sidecar reads)
+    # BEFORE issuing prefetches, so the in-flight H2D transfer is always
+    # for the next chunk that will actually compute -- resumed chunks in
+    # the middle of a run no longer force a synchronous refetch
+    status: dict = {}  # k -> (rows, csum, resume_or_None)
+
+    def get_status(k):
+        if k not in status:
+            ck_host, _ = host_chunk(k)
+            rows = len(ck_host)
+            csum = _chunk_checksum(ck_host)
+            resume = (
+                _try_resume_chunk(spill_dir, k, csum, rows, cap, plan)
+                if spill_dir else None
+            )
+            status[k] = (rows, csum, resume)
+        return status[k]
+
+    def next_compute(k):
+        """First chunk index >= k that needs computing (n_chunks if none)."""
+        while k < n_chunks and get_status(k)[2] is not None:
+            k += 1
+        return k
+
     chunks: list[ChunkMeta] = []
     total = 0
-    pending = None  # (dev_keys, dev_vals) of the next chunk, in flight
+    pending = (-1, None)  # (chunk index, (dev_keys, dev_vals)) in flight
     for k in range(n_chunks):
-        ck_host, _ = host_chunk(k)
-        rows = len(ck_host)
-        csum = _chunk_checksum(ck_host)
-        if spill_dir:
-            meta = _try_resume_chunk(spill_dir, k, csum, rows, cap)
-            if meta is not None:
-                cm = ChunkMeta(k, rows, meta["join_tuples"], True,
-                               meta["window_overflow"])
-                chunks.append(cm)
-                total += cm.join_tuples
-                if on_chunk:
-                    on_chunk(cm, None)
-                # the prefetched device buffers belong to this skipped
-                # chunk; drop them and refetch the next one fresh
-                pending = None
-                continue
-        dk, dv = pending if pending is not None else to_device(k)
-        pending = to_device(k + 1) if k + 1 < n_chunks else None
+        rows, csum, resume = get_status(k)
+        if resume is not None:
+            meta, spilled = resume
+            cm = ChunkMeta(k, rows, meta["join_tuples"], True,
+                           meta["window_overflow"])
+            chunks.append(cm)
+            total += cm.join_tuples
+            if on_chunk:
+                on_chunk(cm, spilled)
+            continue
+        dk, dv = pending[1] if pending[0] == k else to_device(k)
+        nk = next_compute(k + 1)
+        pending = (nk, to_device(nk)) if nk < n_chunks else (-1, None)
         # sort_side scrambles internally (hashed_key), raw keys in
         ohk_s, ov_s = sort_side(dk, dv, cap)
         wrow, wovf = windows(bhk, ohk_s)
@@ -204,7 +283,8 @@ def stream_join(
                 spill_dir, k, res.match_vals, res.match_cnts,
                 {"index": k, "rows": rows, "input_checksum": csum,
                  "join_tuples": jt, "window_overflow": ovf,
-                 "window": window, "tile": tile},
+                 "window": window, "tile": tile,
+                 **_plan_fingerprint(plan, cap)},
             )
         chunks.append(cm)
         total += jt

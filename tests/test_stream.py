@@ -53,6 +53,66 @@ def test_stream_join_spill_resume(tmp_path, workload):
     assert second.join_tuples == first.join_tuples
 
 
+def test_stream_resumed_chunks_can_materialize(tmp_path, workload):
+    """A fully-resumed run must still let consumers materialize rows:
+    on_chunk receives the verified SpilledChunk columns and
+    replay_probe_columns reconstructs the aligned probe columns --
+    digest must equal the fresh run's."""
+    from hash_join_codes_knl_tpu.engine.stream import (
+        SpilledChunk,
+        replay_probe_columns,
+    )
+
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "spill")
+    stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d)
+    rows = []
+
+    def collect(cm, payload):
+        assert isinstance(payload, SpilledChunk), "resume must hand columns"
+        k = cm.index
+        sl = slice(k * 4096, min((k + 1) * 4096, len(ok)))
+        pk, pv = replay_probe_columns(ok[sl], ov[sl], second_plan,
+                                      len(payload.match_vals))
+        m = payload.match_cnts == 1
+        rows.append((pk[m], pv[m], payload.match_vals[m]))
+
+    # plan must match the spilled fingerprint: reuse the first run's
+    first = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d)
+    second_plan = first.plan
+    second = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d,
+                         plan=second_plan, on_chunk=collect)
+    assert second.resumed_chunks == 3
+    got = multiset_digest(*(np.concatenate(cols) for cols in zip(*rows)))
+    want = join_oracle(ik, iv, ok, ov)
+    assert second.join_tuples == len(want[0])
+    assert got == multiset_digest(*want)
+
+
+def test_stream_plan_fingerprint_mismatch_recomputes(tmp_path, workload):
+    """Spill written under one plan must NOT resume under a plan with a
+    different row-order fingerprint (factor): the columns' chunk-sorted
+    order would misalign replaying consumers (sidecar fingerprint)."""
+    import dataclasses
+
+    from hash_join_codes_knl_tpu.engine.config import plan_join
+
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "spill")
+    base = plan_join(len(ik), 4096)
+    first = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d,
+                        plan=base)
+    other = dataclasses.replace(base, factor=0x85EBCA77)
+    second = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d,
+                         plan=other)
+    assert second.resumed_chunks == 0  # fingerprint mismatch -> recompute
+    assert second.join_tuples == first.join_tuples
+    # and the rewritten spill resumes cleanly under the new plan
+    third = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d,
+                        plan=other)
+    assert third.resumed_chunks == 3
+
+
 def test_stream_join_corrupted_spill_recomputed(tmp_path, workload):
     ik, iv, ok, ov = workload
     d = tmp_path / "spill"
