@@ -60,23 +60,31 @@ def validate_join_result(res, outer_keys, plan) -> dict:
 
     # partition/window monotonicity: within each sorted probe chunk the
     # scrambled keys must be non-decreasing (pads are hk 0 and sort
-    # first, so they never break monotonicity)
+    # first, so they never break monotonicity).  Irregular geometries
+    # (result length not divisible by the chunk count -- a truncated or
+    # re-laid-out result) cannot infer chunk boundaries; that case is
+    # REPORTED in the stats instead of silently skipping the check.
+    monotonicity = "n/a"
     if getattr(plan, "probe_impl", "merge").startswith("merge"):
         hk = (pk.astype(np.uint64) * np.uint64(plan.factor)).astype(
             np.uint32
         )
         chunks = max(1, getattr(plan, "probe_chunks", 0))
-        per = len(hk) // chunks if chunks > 1 else len(hk)
-        if per and len(hk) % per == 0:
-            h2 = hk.reshape(-1, per)
+        if len(hk) == 0 or len(hk) % chunks != 0:
+            monotonicity = "skipped: irregular geometry " \
+                f"({len(hk)} slots, {chunks} chunks)"
+        else:
+            h2 = hk.reshape(chunks, -1)
             if (h2[:, 1:] < h2[:, :-1]).any():
                 raise ValueError(
                     "monotonicity: probe layout not hash-ordered within "
                     "a sorted chunk"
                 )
+            monotonicity = "checked"
 
     return {
         "live_slots": n_live,
         "key_checksum": got_sum,
         "join_tuples": int(mc.astype(np.int64).sum()),
+        "monotonicity": monotonicity,
     }

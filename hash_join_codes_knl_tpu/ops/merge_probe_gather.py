@@ -21,10 +21,12 @@ NPJ-sized spans.  This kernel makes window size nearly free:
    and the next chunk also starts with it), so the exact M:N match count
    is  count(eq in cs) + 128*max(0, ce-cs-1) + (ce>cs)*count(eq in ce)
    -- no middle-chunk gathers, exact for ANY duplicate-run length.
-4. **max val**: both relations are sorted with the VALUE as a secondary
+4. **max val**: the BUILD side is sorted with the VALUE as a secondary
    sort key (lax.sort num_keys=2 in engine/phj.py), so an equal-key
    run's maximum value sits at the run's END -- inside gathered chunk ce
    (or cs when the run ends there) -- and one masked max is exact.
+   Probe-side order within a tile is irrelevant to correctness (each
+   probe is matched independently against the window).
 
 REQUIRES key-sorted windows: the NPJ parked table interleaves empty
 slots and must keep the dense kernel (engine/npj.py).  Null convention
@@ -127,8 +129,8 @@ def _gather_row_result_factory(w_chunks: int):
 @functools.partial(jax.jit,
                    static_argnames=("tile", "window", "interpret"))
 def merge_probe_gather(
-    probe_hk: jnp.ndarray,  # (N_pad,) sorted (key asc, val-secondary)
-    build_hk2d: jnp.ndarray,  # (rows, 128) sorted likewise, flattened order
+    probe_hk: jnp.ndarray,  # (N_pad,) sorted by key within each tile's chunk
+    build_hk2d: jnp.ndarray,  # (rows, 128) sorted (key asc, val-secondary)
     build_val2d: jnp.ndarray,  # (rows, 128)
     window_row: jnp.ndarray,  # (n_tiles,) int32 first 128-row of the window
     tile: int,
@@ -137,8 +139,10 @@ def merge_probe_gather(
 ):
     """Same contract as merge_probe_pallas, with two requirements on the
     callers: (a) window <= 16384 slots (chunk index fits one lane gather),
-    (b) both sides sorted with the value as the secondary key (for exact
-    max-val on duplicate runs).  Exact match counts for any M:N."""
+    (b) the BUILD side sorted with the value as the secondary key (for
+    exact max-val on duplicate runs; engine/phj.py sorts the probe side
+    with num_keys=1 -- probe order affects only window locality, not
+    correctness).  Exact match counts for any M:N."""
     assert window % 128 == 0 and window // 128 <= 128, window
     n_tiles = probe_hk.shape[0] // tile
     kernel = make_window_probe_kernel(

@@ -84,6 +84,11 @@ def main():
         ("padded radix pass_bits=(5,5)", JoinPlan(
             p_bits=10, slots=1024, tile=2048, pass_bits=(5, 5),
             partition_impl="radix", probe_impl="pallas")),
+        # the reference CPRA's fixed 4096-way fanout (cpra2.cpp:2023) as
+        # two 6-bit passes -- its pass loop's only operating point
+        ("padded radix 4096-way pass_bits=(6,6)", JoinPlan(
+            p_bits=12, slots=1024, tile=2048, pass_bits=(6, 6),
+            partition_impl="radix", probe_impl="pallas")),
     ]:
         res, _ = join(ik, iv, ok, ov, plan)
         check(label, multiset_digest(*materialize(res)), want)
@@ -117,18 +122,49 @@ def main():
           multiset_digest(*materialize_expanded(res, dup, dv)),
           multiset_digest(*wantd))
 
-    # 5: CPRA on the (single-chip) mesh, sort and radix packs
-    from hash_join_codes_knl_tpu.parallel.cpra import cpra_join, make_cpra_step
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    # 5: CPRA on the (single-chip) mesh -- digest-checked, not just run
+    from hash_join_codes_knl_tpu.parallel.cpra import cpra_join
 
     n_dev = len(jax.devices())
     mesh = jax.make_mesh((1 << (n_dev.bit_length() - 1),), ("x",))
-    res, _ = cpra_join(ik, iv, ok[: len(ok) // mesh.shape["x"]
-                                  * mesh.shape["x"]],
-                       ov[: len(ok) // mesh.shape["x"] * mesh.shape["x"]],
-                       mesh)
+    n_even = len(ok) // mesh.shape["x"] * mesh.shape["x"]
+    res, _ = cpra_join(ik, iv, ok[:n_even], ov[:n_even], mesh)
+    check("cpra mesh step",
+          multiset_digest(*materialize(res)),
+          multiset_digest(*join_oracle(ik, iv, ok[:n_even], ov[:n_even])))
+
+    # 5b: the radix-pack exchange engine's Pallas lowering ON HARDWARE.
+    # A 1-chip mesh degenerates the owner exchange (c_bits=0 skips the
+    # radix pack entirely), so exercise pack_by_owner_radix directly at
+    # c_bits=2 and compare every bucket's multiset against the pass
+    # oracle -- this is exactly the hardware-only surface (dynamic
+    # gathers, run-aligned DMAs) the battery exists to cover.
+    from hash_join_codes_knl_tpu.parallel.cpra import pack_by_owner_radix
+    from hash_join_codes_knl_tpu.ops.radix_partition_pallas import (
+        radix_partition_oracle,
+    )
+    from hash_join_codes_knl_tpu.utils.hashing import hashed_key
+
+    FACTOR = 0x9E3779B1
+    bk, bv, cnts, ovf = pack_by_owner_radix(
+        jnp.asarray(ok[:1_000_000]), jnp.asarray(ov[:1_000_000]),
+        FACTOR, 2,
+    )
+    assert int(ovf) == 0, "radix pack overflow"
+    bk, bv, cnts = np.asarray(bk), np.asarray(bv), np.asarray(cnts)
+    hk = np.asarray(hashed_key(jnp.asarray(ok[:1_000_000]), FACTOR))
+    want_buckets = radix_partition_oracle(hk, ov[:1_000_000], 2)
+    capr = len(bk) // 4
+    for c in range(4):
+        reg_k = bk[c * capr : (c + 1) * capr]
+        reg_v = bv[c * capr : (c + 1) * capr]
+        live = reg_k != 0
+        wk, wv = want_buckets[c]
+        assert live.sum() == cnts[c] == len(wk), f"bucket {c} count"
+        assert (sorted(zip(reg_k[live].tolist(), reg_v[live].tolist()))
+                == sorted(zip(wk.tolist(), wv.tolist()))), f"bucket {c}"
     checks += 1
-    print("ok: cpra mesh step", file=sys.stderr)
+    print("ok: radix-pack exchange engine on hardware", file=sys.stderr)
 
     print(json.dumps({
         "metric": "tpu_smoke", "value": checks, "unit": "checks_passed",

@@ -226,6 +226,70 @@ def test_padded_radix_mode_consumes_pass_bits():
         assert got == want
 
 
+def test_padded_radix_4096way_reference_fanout():
+    """The reference CPRA's fixed operating point: NUM_PARTITIONS=4096
+    (cpra2.cpp:2023), i.e. 12 radix bits consumed as two 6-bit passes --
+    the bounded-fanout regime its pass loop (cpra2.cpp:1757-1827) always
+    runs.  Verified at the multipass-partition level (every one of the
+    4096 final regions must hold exactly its oracle multiset, pads
+    excluded, zero pass overflow); the full join at this fanout runs on
+    hardware in scripts/tpu_smoke.py, where the 4096-region probe is
+    compiled rather than interpreted."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hash_join_codes_knl_tpu.ops.radix_partition_pallas import (
+        multipass_partition,
+    )
+    from hash_join_codes_knl_tpu.utils.hashing import hashed_key
+
+    rng = np.random.default_rng(41)
+    keys = np.unique(rng.integers(1, 2**32, 9000, dtype=np.uint32))[:8192]
+    vals = rng.integers(0, 2**32, 8192, dtype=np.uint32)
+    hk = np.asarray(hashed_key(jnp.asarray(keys), 0x9E3779B1))
+    k, v, counts, ovf = multipass_partition(
+        jnp.asarray(hk), jnp.asarray(vals), (6, 6), interpret=True
+    )
+    assert int(ovf) == 0
+    counts = np.asarray(counts)
+    assert counts.shape == (4096,) and counts.sum() == 8192
+    k = np.asarray(k)
+    v = np.asarray(v)
+    cap = len(k) // 4096
+    pid = (hk >> np.uint32(20)).astype(np.int64)  # top 12 bits
+    # exact per-region counts for ALL 4096 regions
+    np.testing.assert_array_equal(counts, np.bincount(pid, minlength=4096))
+    # per-region multiset content check, sampled every 64th region
+    for p in range(0, 4096, 64):
+        reg_k = k[p * cap : (p + 1) * cap]
+        reg_v = v[p * cap : (p + 1) * cap]
+        live = reg_k != 0
+        want = pid == p
+        assert live.sum() == counts[p] == want.sum()
+        got = sorted(zip(reg_k[live].tolist(), reg_v[live].tolist()))
+        exp = sorted(zip(hk[want].tolist(), vals[want].tolist()))
+        assert got == exp, f"region {p}"
+
+
+def test_reference_pass_plan_policy():
+    """reference_pass_plan reproduces the reference's pass/fanout policy
+    (phj.cpp:1791-1808): partitions = local/6400, passes by thresholds
+    {10, 400, 20000, 1e6}, per-pass fanout = partitions^(1/passes) with
+    the last pass absorbing the rounding remainder."""
+    from hash_join_codes_knl_tpu.engine.config import reference_pass_plan
+
+    # partitions <= 10: the shared inter-thread pass suffices
+    assert reference_pass_plan(6400 * 8) == ()
+    assert reference_pass_plan(64_000) == ()
+    # one pass: 10 < partitions <= 400
+    assert reference_pass_plan(6400 * 400) == (400,)
+    # two passes: the 16M-local-tuples CPRA shape -> 2500-way as 50 x 50
+    assert reference_pass_plan(16_000_000) == (50, 50)
+    # three passes: partitions = 2^15, floor(cbrt) = 31, last pass
+    # absorbs the remainder: 32768 // (31*31) = 34
+    assert reference_pass_plan(6400 * (1 << 15)) == (31, 31, 34)
+
+
 def test_merge_probe_chunked_sort_matches_oracle():
     """probe_chunks > 1: the probe side is sorted as independent chunks
     (batched 2-D sort) with per-chunk-widened windows; results must be
