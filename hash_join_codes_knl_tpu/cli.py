@@ -90,6 +90,14 @@ def main(argv=None):
                         "host RAM and stream it through the chip in "
                         "chunks of this many rows (engine/stream.py); "
                         "the build side stays HBM-resident")
+    p.add_argument("--grace-bits", type=int, default=0,
+                   help="phj: Grace mode -- NEITHER relation needs to "
+                        "fit HBM: one 2^N-way out-of-core radix pass "
+                        "spills both relations to host partition files, "
+                        "then per-partition merge joins stream through "
+                        "the chip (engine/grace.py; needs --spill-dir; "
+                        "--stream-chunk-rows sets the partition-pass "
+                        "chunk size)")
     p.add_argument("--spill-dir", default=None,
                    help="with --stream-chunk-rows: spill per-chunk "
                         "results + checkpoints here; a re-run resumes "
@@ -137,6 +145,35 @@ def main(argv=None):
 
     inner, outer = _load_or_generate(args)
     timer = PhaseTimer()
+    if args.algorithm == "phj" and args.grace_bits > 0:
+        # Grace mode: both relations host-resident, partitioned out of
+        # core, joined per partition (engine/grace.py)
+        from .engine.grace import grace_join
+
+        if not args.spill_dir:
+            print("--grace-bits needs --spill-dir", file=sys.stderr)
+            return 1
+        gres = timer.run(
+            "grace_join", grace_join, inner.keys, inner.vals,
+            outer.keys, outer.vals, f_bits=args.grace_bits,
+            chunk_rows=args.stream_chunk_rows or 32_000_000,
+            spill_dir=args.spill_dir,
+        )
+        join_tuples = gres.join_tuples
+        expect = expected_join_tuples(len(inner.keys), len(outer.keys))
+        if args.outer <= args.inner and join_tuples != expect:
+            print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
+                  file=sys.stderr)
+            return 1
+        profiling.close()
+        _report("phj-grace", timer, len(outer.keys), join_tuples,
+                args.json,
+                {"partitions": 1 << gres.f_bits,
+                 "max_build_partition": max(
+                     (m.build_rows for m in gres.partitions), default=0),
+                 "max_probe_partition": max(
+                     (m.probe_rows for m in gres.partitions), default=0)})
+        return 0
     ik = timer.run("load_device", jnp.asarray, inner.keys)
     iv = jnp.asarray(inner.vals)
     if args.algorithm == "phj" and args.stream_chunk_rows > 0:

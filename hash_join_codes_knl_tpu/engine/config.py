@@ -94,7 +94,16 @@ def plan_join(inner_n: int, outer_n: int, tile: int | None = None,
         # the near-HBM-capacity regime keeps the global sort -- relations
         # beyond that belong to the streaming driver (engine/stream.py)
         # or the multi-chip exchange anyway
-        probe_chunks = 64 if 64_000_000 <= outer_n <= 320_000_000 else 0
+        if 64_000_000 <= outer_n <= 320_000_000:
+            # the batched-sort cost surface is erratic across jax
+            # releases: the plan-time tuner times a few candidates on
+            # the device once per geometry and caches the verdict
+            # (engine/tune.py; C=64 is the measured static fallback)
+            from .tune import tuned_probe_chunks
+
+            probe_chunks = tuned_probe_chunks(outer_n, default=64)
+        else:
+            probe_chunks = 0
     if tile is None:
         tile = 3072 if probe_chunks else 2048
     p_bits = 1

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -224,6 +225,14 @@ def _merge_impl(plan: JoinPlan, window: int) -> str:
     return impl
 
 
+# ablation knob for the gather kernel's per-row one-chunk fast path
+# (merge_probe_gather row_skip).  Measured OFF: the per-row lax.cond
+# costs 2.2x (probe 0.83 s vs 0.37 s branchless at 16Mx256M/C=64) --
+# scalar-core branching loses at ROW granularity too, not just
+# per-(row, chunk) (PERF_NOTES "per-compile dice" + dense-kernel note)
+_GATHER_ROW_SKIP = os.environ.get("HJK_GATHER_ROW_SKIP", "0") != "0"
+
+
 def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
                  tile: int, window: int, rows_total: int) -> JoinResult:
     from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
@@ -234,7 +243,8 @@ def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
     if impl == "merge_gather":
         from ..ops.merge_probe_gather import merge_probe_gather
 
-        mv, mc = merge_probe_gather(ohk_s, bhk2, bval2, wrow, tile, window)
+        mv, mc = merge_probe_gather(ohk_s, bhk2, bval2, wrow, tile, window,
+                                    row_skip=_GATHER_ROW_SKIP)
     elif impl == "merge_pallas":
         mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
     else:

@@ -51,7 +51,7 @@ from .merge_probe_pallas import (
 )
 
 
-def _gather_row_result_factory(w_chunks: int):
+def _gather_row_result_factory(w_chunks: int, row_skip: bool = True):
     def factory(kwin, vwin):
         bias = jnp.int32(_BIAS)
         # window transposed: slot s of chunk w lives at [s, w].  The lane
@@ -87,32 +87,68 @@ def _gather_row_result_factory(w_chunks: int):
             # middle chunk / a double count of chunk 0
             csc = jnp.clip(cs, 0, w_chunks - 1)
             cec = jnp.clip(ce, 0, w_chunks - 1)
-            middle = jnp.maximum(cec - csc - 1, 0)  # full chunks of the key
-            # gather chunks cs and ce: out[s, p] = wkT[s, c[p]].  The cs
-            # block completes (gather -> eq -> sum) before the ce block
-            # starts: shorter live ranges schedule better under Mosaic
-            cc_s = jnp.broadcast_to(csc, (128, 128))
-            gk_s = jnp.take_along_axis(bndT, cc_s, axis=1)  # (128s,128p)
-            eq_s = gk_s == ok
-            cnt_s = jnp.sum(eq_s.astype(jnp.int32), axis=0, keepdims=True)
-            cc_e = jnp.broadcast_to(cec, (128, 128))
-            gk_e = jnp.take_along_axis(bndT, cc_e, axis=1)
-            gv_e = jnp.take_along_axis(wvT, cc_e, axis=1)
-            eq_e = gk_e == ok
-            cnt = (
-                cnt_s
-                + 128 * middle
-                + jnp.where(
-                    cec > csc,
-                    jnp.sum(eq_e.astype(jnp.int32), axis=0, keepdims=True),
-                    0,
+
+            def both_chunks():
+                middle = jnp.maximum(cec - csc - 1, 0)  # full run chunks
+                # gather chunks cs and ce: out[s, p] = wkT[s, c[p]].  The
+                # cs block completes (gather -> eq -> sum) before the ce
+                # block starts: shorter live ranges schedule better under
+                # Mosaic
+                cc_s = jnp.broadcast_to(csc, (128, 128))
+                gk_s = jnp.take_along_axis(bndT, cc_s, axis=1)  # (s, p)
+                eq_s = gk_s == ok
+                cnt_s = jnp.sum(eq_s.astype(jnp.int32), axis=0,
+                                keepdims=True)
+                cc_e = jnp.broadcast_to(cec, (128, 128))
+                gk_e = jnp.take_along_axis(bndT, cc_e, axis=1)
+                gv_e = jnp.take_along_axis(wvT, cc_e, axis=1)
+                eq_e = gk_e == ok
+                cnt = (
+                    cnt_s
+                    + 128 * middle
+                    + jnp.where(
+                        cec > csc,
+                        jnp.sum(eq_e.astype(jnp.int32), axis=0,
+                                keepdims=True),
+                        0,
+                    )
                 )
-            )
-            # value-ascending runs: the max val of the run is its last
-            # element, which lives in chunk ce (== cs when the run ends
-            # there; ce always holds the key when the run reaches it)
-            mx = jnp.max(jnp.where(eq_e, gv_e, bias), axis=0,
-                         keepdims=True)
+                # value-ascending runs: the max val of the run is its
+                # last element, which lives in chunk ce (== cs when the
+                # run ends there; ce always holds the key when the run
+                # reaches it)
+                mx = jnp.max(jnp.where(eq_e, gv_e, bias), axis=0,
+                             keepdims=True)
+                return mx, cnt
+
+            def one_chunk():
+                # every run in this row starts AND ends in its cs chunk
+                # (no chunk boundary carries the probe's key): one gather
+                # pair answers both the count and the max val -- skips
+                # the whole ce block (~1/3 of the row's vreg ops).
+                # MEASURED LOSS as a default (row_skip=False): the
+                # per-row lax.cond runs the probe at 0.83 s vs 0.37 s
+                # branchless (16Mx256M, C=64, v5e) even though ~37% of
+                # uniform rows qualify -- scalar-core branch + schedule
+                # disruption dwarfs the skipped vector work, the same
+                # pattern as the per-(row,chunk) predication experiment
+                # (ops/merge_probe_pallas.py).  Kept as an ablation knob
+                # (HJK_GATHER_ROW_SKIP=1).
+                cc = jnp.broadcast_to(csc, (128, 128))
+                gk = jnp.take_along_axis(bndT, cc, axis=1)
+                gv = jnp.take_along_axis(wvT, cc, axis=1)
+                eq = gk == ok
+                cnt = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True)
+                mx = jnp.max(jnp.where(eq, gv, bias), axis=0,
+                             keepdims=True)
+                return mx, cnt
+
+            if row_skip:
+                mx, cnt = jax.lax.cond(
+                    jnp.all(cec == csc), one_chunk, both_chunks
+                )
+            else:
+                mx, cnt = both_chunks()
             live = ok_u32 != 0
             cnt = jnp.where(live, cnt, 0)
             mv = jnp.where(
@@ -127,7 +163,8 @@ def _gather_row_result_factory(w_chunks: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "window", "interpret"))
+                   static_argnames=("tile", "window", "interpret",
+                                    "row_skip"))
 def merge_probe_gather(
     probe_hk: jnp.ndarray,  # (N_pad,) sorted by key within each tile's chunk
     build_hk2d: jnp.ndarray,  # (rows, 128) sorted (key asc, val-secondary)
@@ -136,6 +173,7 @@ def merge_probe_gather(
     tile: int,
     window: int,  # slots, multiple of 128; at most 128 chunks (16384)
     interpret: bool = False,
+    row_skip: bool = True,
 ):
     """Same contract as merge_probe_pallas, with two requirements on the
     callers: (a) window <= 16384 slots (chunk index fits one lane gather),
@@ -146,7 +184,8 @@ def merge_probe_gather(
     assert window % 128 == 0 and window // 128 <= 128, window
     n_tiles = probe_hk.shape[0] // tile
     kernel = make_window_probe_kernel(
-        window // 128, n_tiles, _gather_row_result_factory(window // 128)
+        window // 128, n_tiles,
+        _gather_row_result_factory(window // 128, row_skip),
     )
     return window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
                              window_row, tile, window, interpret)

@@ -92,6 +92,29 @@ def main():
         return got
 
     record("phj_uniform", O, _sync_run(run_phj))
+
+    # config 1 at the BASELINE shape: NPJ (one global table, sorted
+    # probe) on the same 16M x 256M workload -- the NPJ-vs-PHJ story at
+    # the headline size, not an extrapolation from 4M x 16M.  The
+    # global-sort NPJ path handles 256M probes (proven to 512M,
+    # PERF_NOTES); expect ~1/3 of PHJ (two full-width 3-column sorts).
+    nplan_f = plan_npj(I)
+    nwin_f = nplan_f.auto_window(O)
+
+    def run_npj_full(rep):
+        tk, tv, _, max_disp = npj_build(ik, iv ^ jnp.uint32(rep), nplan_f)
+        mv, mc, wovf = npj_probe_sorted(tk, tv, ok, nplan_f, max_disp,
+                                        nwin_f)
+        assert int(wovf) == 0
+        got = int(jnp.sum(mc.astype(jnp.uint32)))
+        assert got == expected_join_tuples(I, O) % (1 << 32)
+        return got
+
+    record("npj_uniform_full", O, _sync_run(run_npj_full, reps=2),
+           {"note": f"{I}x{O}: global-table sorted probe, BASELINE shape",
+            "window": nwin_f})
+    del run_npj_full
+
     # free the uniform probe side before staging the zipf one: two
     # 256M-row probe sides plus join internals exceed one chip's HBM
     del run_phj, ok, ov

@@ -1,0 +1,87 @@
+"""Grace join (engine/grace.py): out-of-core BUILD + probe sides vs the
+oracle -- partition pass streamed in chunks, per-partition merge joins."""
+
+import numpy as np
+import pytest
+
+from hash_join_codes_knl_tpu.engine.grace import grace_join
+from hash_join_codes_knl_tpu.engine.oracle import join_oracle, multiset_digest
+
+
+@pytest.fixture()
+def workload():
+    rng = np.random.default_rng(53)
+    ik = np.unique(rng.integers(1, 2**32, 6000, dtype=np.uint32))[:4096]
+    iv = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    hits = ik[rng.integers(0, 4096, 18000)]
+    miss = rng.integers(1, 2**32, 3000, dtype=np.uint32)
+    ok = np.concatenate([hits, miss]).astype(np.uint32)
+    rng.shuffle(ok)
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    return ik, iv, ok, ov
+
+
+def test_grace_join_matches_oracle(tmp_path, workload):
+    """Multi-chunk partition pass (both sides stream through the radix
+    pass in 5000-row chunks), 8 partitions, rows collected through
+    on_partition must reproduce the oracle multiset exactly."""
+    ik, iv, ok, ov = workload
+    rows = []
+
+    def collect(meta, res, raw_pk):
+        mc = np.asarray(res.match_cnts)
+        m = mc == 1
+        rows.append((raw_pk[m], np.asarray(res.probe_vals)[m],
+                     np.asarray(res.match_vals)[m]))
+
+    gres = grace_join(ik, iv, ok, ov, f_bits=3, chunk_rows=5000,
+                      spill_dir=str(tmp_path / "g"), on_partition=collect)
+    want = join_oracle(ik, iv, ok, ov)
+    assert gres.join_tuples == len(want[0])
+    assert sum(m.build_rows for m in gres.partitions) == len(ik)
+    assert sum(m.probe_rows for m in gres.partitions) == len(ok)
+    got = multiset_digest(*(np.concatenate(c) for c in zip(*rows)))
+    assert got == multiset_digest(*want)
+
+
+def test_grace_join_duplicate_build_keys(tmp_path, workload):
+    """M:N cardinality is exact through the partitioned path."""
+    ik, iv, ok, ov = workload
+    dup_k = np.concatenate([ik, ik[:512]]).astype(np.uint32)
+    dup_v = np.concatenate([iv, iv[:512] ^ 1]).astype(np.uint32)
+    gres = grace_join(dup_k, dup_v, ok, ov, f_bits=2, chunk_rows=7000,
+                      spill_dir=str(tmp_path / "g2"))
+    want = join_oracle(dup_k, dup_v, ok, ov)
+    assert gres.join_tuples == len(want[0])
+
+
+def test_grace_partition_budget_guard(tmp_path, workload):
+    """A partition larger than the per-partition budget must raise with
+    re-plan guidance (recursive split = larger f_bits), never OOM the
+    chip silently."""
+    ik, iv, ok, ov = workload
+    with pytest.raises(RuntimeError, match="f_bits"):
+        grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000,
+                   spill_dir=str(tmp_path / "g3"),
+                   partition_budget_rows=100)
+
+
+def test_grace_cli_driver(tmp_path):
+    """cli phj --grace-bits end to end with cardinality verification."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from hash_join_codes_knl_tpu.cli import main
+
+    args = ["phj", "1", "8192", "2048", "--seed", "19",
+            "--dir", str(tmp_path), "--grace-bits", "2",
+            "--stream-chunk-rows", "4096",
+            "--spill-dir", str(tmp_path / "spill"), "--json"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(args) == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["algorithm"] == "phj-grace"
+    assert m["partitions"] == 4
+    assert m["join_tuples"] == 8192
