@@ -174,22 +174,37 @@ def grace_join(
     inv = np.uint64(mod_inverse_u32(plan.factor))
     total = 0
     metas = []
+    # every partition pads to ONE static (build, probe) shape so a
+    # single compiled join serves all F partitions -- per-partition
+    # shapes would recompile F times (minutes each on a remote-compile
+    # backend).  Pads carry the null key and are inert in the engine.
+    nb_cap = -(-max(int(b_counts.max(initial=0)), 128) // 128) * 128
+    np_cap = -(-max(int(p_counts.max(initial=0)), 128) // 128) * 128
+    # keys are already scrambled: factor=1 makes hashed_key the
+    # identity, so the local engine sees the same hash order the
+    # partition pass routed on
+    local = dataclasses.replace(
+        plan_join(nb_cap, np_cap), factor=1,
+        skip_bits=plan.skip_bits + f_bits,
+    )
     for p in range(F):
         nb, npr = int(b_counts[p]), int(p_counts[p])
         meta = PartitionMeta(p, nb, npr, 0)
         if nb == 0 or npr == 0:
             metas.append(meta)
             continue
-        bk = _read_u32(os.path.join(spill_dir, f"build_{p}_hk.bin"), nb)
-        bv = _read_u32(os.path.join(spill_dir, f"build_{p}_val.bin"), nb)
-        pk = _read_u32(os.path.join(spill_dir, f"probe_{p}_hk.bin"), npr)
-        pv = _read_u32(os.path.join(spill_dir, f"probe_{p}_val.bin"), npr)
-        # keys are already scrambled: factor=1 makes hashed_key the
-        # identity, so the local engine sees the same hash order the
-        # partition pass routed on
-        local = dataclasses.replace(
-            plan_join(nb, npr), factor=1, skip_bits=plan.skip_bits + f_bits
-        )
+
+        def padded(path, n, cap):
+            a = _read_u32(path, n)
+            return np.concatenate([a, np.zeros(cap - n, np.uint32)])
+
+        bk = padded(os.path.join(spill_dir, f"build_{p}_hk.bin"), nb, nb_cap)
+        bv = padded(os.path.join(spill_dir, f"build_{p}_val.bin"), nb,
+                    nb_cap)
+        pk = padded(os.path.join(spill_dir, f"probe_{p}_hk.bin"), npr,
+                    np_cap)
+        pv = padded(os.path.join(spill_dir, f"probe_{p}_val.bin"), npr,
+                    np_cap)
         res = None
         for _ in range(window_retries + 1):
             res = phj_join(jnp.asarray(bk), jnp.asarray(bv),

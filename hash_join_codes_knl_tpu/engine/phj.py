@@ -450,10 +450,17 @@ def _phj_join_padded_radix(inner_keys, inner_vals, outer_keys, outer_vals,
 def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
     """Next plan after a merge-probe window overflow, sized from the
     MEASURED max required span (build_counts[1]) instead of blind
-    doubling (NEXT.md #5).  Spans scale ~linearly with the chunk count,
-    so if even a padded span busts the gather cap, probe_chunks shrinks
-    proportionally first -- the re-derived window must land STRICTLY
-    under the cap (one chunk past it silently drops to the dense sweep,
+    doubling (NEXT.md #5).
+
+    Spans scale ~linearly with the PRODUCT tile * probe_chunks (a tile
+    covers tile/chunk_len of each chunk's key range), while the sort
+    cost depends only on the chunk count -- so when even a padded span
+    busts the gather cap, the re-planner shrinks the TILE first, keeping
+    probe_chunks at its sort-optimal value (C=21 vs C=64 costs ~+0.25 s
+    of batched-sort time at 256M rows).  Tiles below 512 would pay
+    per-grid-step overheads instead, so past that the chunk count
+    shrinks as before.  The re-derived window must land STRICTLY under
+    the cap (one chunk past it silently drops to the dense sweep,
     pathological at these widths).  Shared by the single-chip `join` and
     the distributed `cpra_join` re-planners."""
     GATHER_CAP = GATHER_MAX_CHUNKS * 128  # widest proven gather window
@@ -461,6 +468,17 @@ def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
     C = max(1, plan.probe_chunks)
     want = -(-int(span * 1.25 + 384) // 128) * 128
     if C > 1 and want > GATHER_CAP:
+        product = plan.tile * C
+        # largest tile*C whose padded span stays strictly under the cap
+        prod_fit = int(product * (GATHER_CAP - 511) / (1.25 * span))
+        tile_new = max(128, prod_fit // C // 128 * 128)
+        if tile_new >= 512:
+            span_est = span * tile_new * C / product
+            want = min(
+                GATHER_CAP,
+                -(-int(span_est * 1.25 + 384) // 128) * 128,
+            )
+            return dataclasses.replace(plan, tile=tile_new, window=want)
         newC = max(1, int(C * (GATHER_CAP - 511) / (1.25 * span)))
         want = min(
             GATHER_CAP,

@@ -41,15 +41,18 @@ def main():
     from hash_join_codes_knl_tpu.engine.phj import phj_join_merge_staged
     from hash_join_codes_knl_tpu.utils.timing import PhaseTimer
 
-    def load(tag, n):
-        a = np.fromfile(os.path.join(d, f"{tag}_{n}.txt"), dtype="<u4")
+    d_outer = os.environ.get("HJK_DATA_OUTER", d)
+
+    def load(tag, n, base=None):
+        a = np.fromfile(os.path.join(base or d, f"{tag}_{n}.txt"),
+                        dtype="<u4")
         assert len(a) == n, (tag, len(a), n)
         return a
 
     ik = jnp.asarray(load("ik", ni))
     iv = jnp.asarray(load("iv", ni))
-    ok = jnp.asarray(load("ok", no))
-    ov = jnp.asarray(load("ov", no))
+    ok = jnp.asarray(load("ok", no, d_outer))
+    ov = jnp.asarray(load("ov", no, d_outer))
     plan = plan_join(ni, no)
     if os.environ.get("HJK_AB_PLAN"):
         import dataclasses
@@ -63,14 +66,23 @@ def main():
 
         _, plan = auto_join(ik, iv, ok, ov, plan)
 
+    import jax
+
+    # per-rep payload variation with a DONATED buffer: an eager
+    # `ov ^ rep` materializes an extra 1 GB, which is exactly the HBM
+    # headroom a replanned 256M-row zipf staged run needs
+    vary = jax.jit(lambda v, r: v ^ r, donate_argnums=0)
+
     phases = []
     total = None
     jt = None
+    res = None
     for rep in range(reps + 1):
+        res = None  # free the previous rep's outputs first
+        ov = vary(ov, jnp.uint32(rep))
         timer = PhaseTimer()
         t0 = time.perf_counter()
-        res = phj_join_merge_staged(ik, iv, ok, ov ^ jnp.uint32(rep), plan,
-                                    timer)
+        res = phj_join_merge_staged(ik, iv, ok, ov, plan, timer)
         jt = int(res.join_tuples)
         dt = time.perf_counter() - t0
         if rep == 0:
@@ -83,7 +95,8 @@ def main():
         "phases": {k: round(v, 4) for k, v in med.items()},
         "staged_total": round(sum(med.values()), 4),
         "join_tuples": jt,
-        "plan": {"tile": plan.tile, "probe_chunks": plan.probe_chunks},
+        "plan": {"tile": plan.tile, "probe_chunks": plan.probe_chunks,
+                 "window": plan.window},
     }))
 
 

@@ -344,6 +344,39 @@ def test_merge_window_replan_uses_measured_span():
     assert int(res.join_tuples) == 16384
 
 
+def test_replan_from_span_prefers_tile_shrink():
+    """When the padded span busts the gather cap, the re-planner must
+    shrink the TILE and keep the chunk count (sort cost depends only on
+    C; spans scale with tile*C) -- falling back to C-shrink only when
+    the tile would drop below the per-step-overhead floor (512)."""
+    import dataclasses
+
+    from hash_join_codes_knl_tpu.engine.phj import (
+        GATHER_MAX_CHUNKS,
+        replan_from_span,
+    )
+
+    cap = GATHER_MAX_CHUNKS * 128
+    plan = dataclasses.replace(plan_join(16_000_000, 256_000_000),
+                               tile=3072, probe_chunks=64)
+    # zipf-like: measured span ~2.3x the cap at tile 3072
+    new = replan_from_span(plan, 36_000)
+    assert new.probe_chunks == 64  # sort geometry preserved
+    assert 512 <= new.tile < 3072 and new.tile % 128 == 0
+    assert new.window <= cap
+    # the scaled span estimate must fit the new window with margin
+    est = 36_000 * new.tile * 64 / (3072 * 64)
+    assert est * 1.25 + 384 <= new.window + 127
+    # pathological span: tile would fall below 512 -> C shrinks instead
+    new2 = replan_from_span(plan, 3_000_000)
+    assert new2.tile == 3072 and new2.probe_chunks < 64
+    # mild overflow (span under the cap): window widens, geometry kept
+    new3 = replan_from_span(dataclasses.replace(plan, probe_chunks=4,
+                                                tile=256), 3000)
+    assert new3.tile == 256 and new3.probe_chunks == 4
+    assert new3.window >= 3000 * 1.25
+
+
 def test_materialize_expanded_block_streaming():
     """block_rows streams the expansion through fixed-size device blocks;
     results must equal the single-shot expansion and the oracle,
