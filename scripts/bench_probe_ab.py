@@ -91,7 +91,7 @@ def main():
         total = dt if total is None else min(total, dt)
     med = {k: float(np.median([p[k] for p in phases])) for k in phases[0]}
     print(json.dumps({
-        "row_skip": os.environ.get("HJK_GATHER_ROW_SKIP", "1"),
+        "row_skip": os.environ.get("HJK_GATHER_ROW_SKIP", "0"),
         "phases": {k: round(v, 4) for k, v in med.items()},
         "staged_total": round(sum(med.values()), 4),
         "join_tuples": jt,
