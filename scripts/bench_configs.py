@@ -3,17 +3,22 @@
 Runs the benchmark configurations from BASELINE.json on the available
 hardware and writes structured metrics to bench_results.json:
 
-  1. NPJ   uniform 16M x 256M   (scaled-down table sizes: NPJ is the
-                                 gather-bound baseline; see --npj-scale)
+  1. NPJ   uniform 16M x 256M   (BASELINE shape + the scaled-down
+                                 4M x 16M row; NPJ is the one-global-
+                                 table engine, see --npj-scale note)
   2. PHJ   uniform 16M x 256M   (headline; same as bench.py)
   3. CPRA  on the local mesh    (single chip here; multi-chip on pods)
   4. PHJ   Zipf z=0.75 and z=1.0 outer skew
   5. scale-out                  (requires a multi-chip mesh; skipped on one)
+ plus: hash aggregate over a 256M-row column (the de-scattered
+ sort-group-reduce) and the reference CPRA 4096-way fanout
+ (pass_bits=(6,6)) through the padded radix engine.
 
 Every run validates cardinality (uniform/ref) or the output digest against
 the host oracle (zipf, small sizes) before timing.
 
-Usage: python scripts/bench_configs.py [--small]
+Usage: python scripts/bench_configs.py [--small] [--only substr]
+(--only runs matching rows and MERGES into the existing results file.)
 """
 
 from __future__ import annotations
@@ -43,6 +48,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="smoke sizes (CI / CPU)")
     ap.add_argument("--out", default="bench_results.json")
+    ap.add_argument("--only", default=None,
+                    help="run only rows whose name contains this "
+                         "substring; merge results into --out instead "
+                         "of overwriting")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +78,9 @@ def main():
 
     results = {}
 
+    def want(name):
+        return args.only is None or args.only in name
+
     def record(name, outer_n, seconds, extra=None):
         results[name] = {
             "seconds": round(seconds, 4),
@@ -85,71 +97,92 @@ def main():
     ik, iv = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
     ok, ov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
 
-    def run_phj(rep):
-        res = phj_join(ik, iv, ok, ov ^ jnp.uint32(rep), plan)
-        got = int(res.join_tuples)
-        assert got == expected_join_tuples(I, O) % (1 << 32), got
-        return got
+    if want("phj_uniform"):
+        def run_phj(rep):
+            res = phj_join(ik, iv, ok, ov ^ jnp.uint32(rep), plan)
+            got = int(res.join_tuples)
+            assert got == expected_join_tuples(I, O) % (1 << 32), got
+            return got
 
-    record("phj_uniform", O, _sync_run(run_phj))
+        record("phj_uniform", O, _sync_run(run_phj))
+        del run_phj
 
-    # config 1 at the BASELINE shape: NPJ (one global table, sorted
-    # probe) on the same 16M x 256M workload -- the NPJ-vs-PHJ story at
-    # the headline size, not an extrapolation from 4M x 16M.  The
-    # global-sort NPJ path handles 256M probes (proven to 512M,
-    # PERF_NOTES); expect ~1/3 of PHJ (two full-width 3-column sorts).
-    nplan_f = plan_npj(I)
-    nwin_f = nplan_f.auto_window(O)
+    if want("aggregate"):
+        # hash aggregate over a 256M-row column set: the de-scattered
+        # sort-group-reduce (ops/aggregate.py) at join-output scale.
+        # Groups = the outer multiset by key (I distinct groups).
+        from hash_join_codes_knl_tpu.ops.aggregate import hash_aggregate
 
-    def run_npj_full(rep):
-        tk, tv, _, max_disp = npj_build(ik, iv ^ jnp.uint32(rep), nplan_f)
-        mv, mc, wovf = npj_probe_sorted(tk, tv, ok, nplan_f, max_disp,
-                                        nwin_f)
-        assert int(wovf) == 0
-        got = int(jnp.sum(mc.astype(jnp.uint32)))
-        assert got == expected_join_tuples(I, O) % (1 << 32)
-        return got
+        def run_agg(rep):
+            ng, gk, s, c = hash_aggregate(ok, ov ^ jnp.uint32(rep))
+            got = int(ng)
+            assert got == I, got  # every build key drawn at least once
+            return got
 
-    record("npj_uniform_full", O, _sync_run(run_npj_full, reps=2),
-           {"note": f"{I}x{O}: global-table sorted probe, BASELINE shape",
-            "window": nwin_f})
-    del run_npj_full
+        record(f"hash_aggregate_{O//10**6}M", O, _sync_run(run_agg, reps=2),
+               {"groups": I, "note": "sort-group-reduce, no scatter"})
+        del run_agg
+
+    if want("npj_uniform_full"):
+        # config 1 at the BASELINE shape: NPJ (one global table, sorted
+        # probe) on the same 16M x 256M workload -- the NPJ-vs-PHJ story
+        # at the headline size, not an extrapolation from 4M x 16M.
+        nplan_f = plan_npj(I)
+        nwin_f = nplan_f.auto_window(O)
+
+        def run_npj_full(rep):
+            tk, tv, _, max_disp = npj_build(ik, iv ^ jnp.uint32(rep),
+                                            nplan_f)
+            mv, mc, wovf = npj_probe_sorted(tk, tv, ok, nplan_f, max_disp,
+                                            nwin_f)
+            assert int(wovf) == 0
+            got = int(jnp.sum(mc.astype(jnp.uint32)))
+            assert got == expected_join_tuples(I, O) % (1 << 32)
+            return got
+
+        record("npj_uniform_full", O, _sync_run(run_npj_full, reps=2),
+               {"note": f"{I}x{O}: global-table sorted probe, "
+                        "BASELINE shape",
+                "window": nwin_f})
+        del run_npj_full
 
     # free the uniform probe side before staging the zipf one: two
     # 256M-row probe sides plus join internals exceed one chip's HBM
-    del run_phj, ok, ov
+    del ok, ov
 
     # config 4: PHJ under Zipf outer skew.  Skewed probe tiles span wider
     # build windows than the uniform-derived auto window; join() re-plans
     # until overflow-free, and the timed runs use that final plan.
     from hash_join_codes_knl_tpu.engine.phj import join as phj_auto_join
 
-    for z in (0.75, 1.0):
-        _, outer_z, _ = generate(seed=43, inner_tuples=I, outer_tuples=O,
-                                 mode="zipf", zipf=z)
-        okz = jnp.asarray(outer_z.keys)
-        ovz = jnp.asarray(outer_z.vals)
-        _, zplan = phj_auto_join(ik, iv, okz, ovz, plan)
+    if want("zipf"):
+        for z in (0.75, 1.0):
+            _, outer_z, _ = generate(seed=43, inner_tuples=I,
+                                     outer_tuples=O, mode="zipf", zipf=z)
+            okz = jnp.asarray(outer_z.keys)
+            ovz = jnp.asarray(outer_z.vals)
+            _, zplan = phj_auto_join(ik, iv, okz, ovz, plan)
 
-        # xor the per-rep variation INSIDE the jit: an eager `ovz ^ rep`
-        # materializes an extra 1 GB buffer, which is exactly the HBM
-        # headroom the 256M-row zipf join needs
-        import functools as _ft
+            # xor the per-rep variation INSIDE the jit: an eager
+            # `ovz ^ rep` materializes an extra 1 GB, which is exactly
+            # the HBM headroom the 256M-row zipf join needs
+            import functools as _ft
 
-        @_ft.partial(jax.jit, static_argnames=("plan",))
-        def _join_xor(ik, iv, ok, ov, rep, plan):
-            return phj_join(ik, iv, ok, ov ^ rep, plan)
+            @_ft.partial(jax.jit, static_argnames=("plan",))
+            def _join_xor(ik, iv, ok, ov, rep, plan):
+                return phj_join(ik, iv, ok, ov ^ rep, plan)
 
-        def run_zipf(rep, zplan=zplan, okz=okz, ovz=ovz,
-                     _join_xor=_join_xor):
-            res = _join_xor(ik, iv, okz, ovz, jnp.uint32(rep), zplan)
-            assert int(np.asarray(res.build_counts)[0]) == 0
-            return int(res.join_tuples)
+            def run_zipf(rep, zplan=zplan, okz=okz, ovz=ovz,
+                         _join_xor=_join_xor):
+                res = _join_xor(ik, iv, okz, ovz, jnp.uint32(rep), zplan)
+                assert int(np.asarray(res.build_counts)[0]) == 0
+                return int(res.join_tuples)
 
-        record(f"phj_zipf_{z}", O, _sync_run(run_zipf),
-               {"window": zplan.window or "auto",
-                "probe_chunks": zplan.probe_chunks})
-        del run_zipf, okz, ovz
+            record(f"phj_zipf_{z}", O, _sync_run(run_zipf),
+                   {"window": zplan.window or "auto",
+                    "probe_chunks": zplan.probe_chunks,
+                    "tile": zplan.tile})
+            del run_zipf, okz, ovz
 
     # config 1: NPJ -- one global table, no partition passes.  The sorted
     # probe (home-bucket-ordered window sweep, engine/npj.py) is the
@@ -157,66 +190,111 @@ def main():
     # gather-bound ablation (the -D_NO_VECTOR analog) at reduced size.
     inner_n, outer_n, _ = generate(seed=44, inner_tuples=npj_I,
                                    outer_tuples=npj_O, mode="uniform")
-    nplan = plan_npj(npj_I)
     nik, niv = jnp.asarray(inner_n.keys), jnp.asarray(inner_n.vals)
     nok = jnp.asarray(outer_n.keys)
-    nwindow = nplan.auto_window(npj_O)
+    nov = jnp.asarray(outer_n.vals)
 
-    def run_npj(rep):
-        tk, tv, _, max_disp = npj_build(nik, niv ^ jnp.uint32(rep), nplan)
-        mv, mc, wovf = npj_probe_sorted(tk, tv, nok, nplan, max_disp,
-                                        nwindow)
-        assert int(wovf) == 0
-        got = int(jnp.sum(mc.astype(jnp.uint32)))
-        assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32)
-        return got
+    if want("npj_uniform"):
+        nplan = plan_npj(npj_I)
+        nwindow = nplan.auto_window(npj_O)
 
-    record("npj_uniform", npj_O, _sync_run(run_npj),
-           {"note": f"{npj_I}x{npj_O}: global-table sorted probe",
-            "window": nwindow})
+        def run_npj(rep):
+            tk, tv, _, max_disp = npj_build(nik, niv ^ jnp.uint32(rep),
+                                            nplan)
+            mv, mc, wovf = npj_probe_sorted(tk, tv, nok, nplan, max_disp,
+                                            nwindow)
+            assert int(wovf) == 0
+            got = int(jnp.sum(mc.astype(jnp.uint32)))
+            assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32)
+            return got
 
-    # chain-walk ablation (+ _UNIQUE first-match retirement,
-    # npj.cpp:954-956) at 1/8 probe volume: it runs ~200x slower than the
-    # sorted probe (gather-bound by design)
-    import dataclasses as _dc
+        record("npj_uniform", npj_O, _sync_run(run_npj),
+               {"note": f"{npj_I}x{npj_O}: global-table sorted probe",
+                "window": nwindow})
+        del run_npj
 
-    nok8 = nok[: max(1, npj_O // 8)]
-    for name, uniq in (("npj_chain", False), ("npj_chain_unique", True)):
-        cplan = _dc.replace(nplan, unique=uniq, probe_impl="chain")
+    if want("radix_4096") and not args.small:
+        # hardware row only: the 64-region multipass unroll + 4096-region
+        # probe is minutes-slow under CPU interpret mode (the CPU-side
+        # correctness of this fanout lives in tests/test_phj.py and the
+        # full join in scripts/tpu_smoke.py)
+        # the reference CPRA's fixed operating point, NUM_PARTITIONS=4096
+        # (cpra2.cpp:2023), as two 6-bit passes through the padded radix
+        # engine (the parity mode; partition-as-sort is the speed mode --
+        # this row records the fanout's measured cost, not a headline)
+        from hash_join_codes_knl_tpu.engine.config import JoinPlan
+        from hash_join_codes_knl_tpu.engine.oracle import (
+            join_oracle,
+            multiset_digest,
+        )
 
-        def run_chain(rep, cplan=cplan):
-            tk, tv, _, _ = npj_build(nik, niv ^ jnp.uint32(rep), cplan)
-            mv, mc = npj_probe(tk, tv, nok8, cplan)
-            return int(jnp.sum(mc.astype(jnp.uint32)))
+        rplan = JoinPlan(p_bits=12, slots=1024, tile=2048,
+                         pass_bits=(6, 6), partition_impl="radix",
+                         probe_impl="pallas")
 
-        record(name, len(nok8), _sync_run(run_chain, reps=1),
-               {"note": "gather-bound ablation, 1/8 probe volume"})
+        def run_radix(rep):
+            res = phj_join(nik, niv ^ jnp.uint32(rep), nok, nov, rplan)
+            assert int(np.asarray(res.build_counts)[-1]) == 0
+            return int(res.join_tuples)
 
-    # config 3: CPRA on the local mesh (free the NPJ device arrays
-    # first -- the full-size exchange needs the HBM headroom; the probe
-    # sides were already freed section by section)
-    del ik, iv, nik, niv, nok, nok8
-    n_dev = len(jax.devices())
-    n_dev = 1 << (n_dev.bit_length() - 1)
-    mesh = jax.make_mesh((n_dev,), ("x",))
+        got = run_radix(0)
+        assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32), got
+        record("phj_radix_4096way", npj_O, _sync_run(run_radix, reps=2),
+               {"note": f"{npj_I}x{npj_O}: padded radix engine, "
+                        "pass_bits=(6,6) -- the cpra2.cpp:2023 fanout",
+                "pass_bits": [6, 6]})
+        del run_radix
 
-    # pre-stage device arrays so the timed reps measure the join, not the
-    # host->device transfer of 2+ GB through the tunnel
-    cik, civ = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
-    cok, cov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
+    if want("npj_chain"):
+        # chain-walk ablation (+ _UNIQUE first-match retirement,
+        # npj.cpp:954-956) at 1/8 probe volume: ~200x slower than the
+        # sorted probe (gather-bound by design)
+        import dataclasses as _dc
 
-    def run_cpra(rep):
-        res, _ = cpra_join(cik, civ, cok, cov ^ jnp.uint32(rep), mesh,
-                           slack=3.0)
-        return int(np.asarray(res.join_tuples).sum())
+        nplan = plan_npj(npj_I)
+        nok8 = nok[: max(1, npj_O // 8)]
+        for name, uniq in (("npj_chain", False),
+                           ("npj_chain_unique", True)):
+            cplan = _dc.replace(nplan, unique=uniq, probe_impl="chain")
 
-    t0 = time.perf_counter()
-    got = run_cpra(0)
-    dt = time.perf_counter() - t0  # includes host sharding; one rep
-    assert got == expected_join_tuples(I, O) % (1 << 32), got
-    record("cpra", O, _sync_run(run_cpra, reps=1),
-           {"devices": n_dev})
+            def run_chain(rep, cplan=cplan):
+                tk, tv, _, _ = npj_build(nik, niv ^ jnp.uint32(rep), cplan)
+                mv, mc = npj_probe(tk, tv, nok8, cplan)
+                return int(jnp.sum(mc.astype(jnp.uint32)))
 
+            record(name, len(nok8), _sync_run(run_chain, reps=1),
+                   {"note": "gather-bound ablation, 1/8 probe volume"})
+        del nok8
+
+    if want("cpra"):
+        # config 3: CPRA on the local mesh (free the NPJ device arrays
+        # first -- the full-size exchange needs the HBM headroom)
+        del nik, niv, nok, nov
+        n_dev = len(jax.devices())
+        n_dev = 1 << (n_dev.bit_length() - 1)
+        mesh = jax.make_mesh((n_dev,), ("x",))
+
+        cik, civ = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
+        cok, cov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
+
+        def run_cpra(rep):
+            res, _ = cpra_join(cik, civ, cok, cov ^ jnp.uint32(rep), mesh,
+                               slack=3.0)
+            return int(np.asarray(res.join_tuples).sum())
+
+        got = run_cpra(0)
+        assert got == expected_join_tuples(I, O) % (1 << 32), got
+        record("cpra", O, _sync_run(run_cpra, reps=1),
+               {"devices": n_dev})
+
+    if args.only is not None:
+        try:
+            with open(args.out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(results)
+        results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
