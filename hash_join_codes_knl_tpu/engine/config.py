@@ -102,6 +102,18 @@ def plan_join(inner_n: int, outer_n: int, tile: int | None = None,
             from .tune import tuned_probe_chunks
 
             probe_chunks = tuned_probe_chunks(outer_n, default=64)
+            # window feasibility caps the chunk count: a tile's
+            # chunk-local span ~ tile*inner*C/outer must fit the
+            # 128-chunk gather ceiling WITH margins (~12.5K usable
+            # slots).  E.g. a 16M build against a 64M probe side (the
+            # streaming driver's per-chunk geometry) supports C=16,
+            # not 64 -- C=64 there would make every window overflow
+            # unfixably and fall to pathologically wide dense sweeps.
+            t = tile if tile is not None else 3072
+            c_win = (12_500 * outer_n) // (t * max(inner_n, 1))
+            probe_chunks = int(max(0, min(probe_chunks, c_win)))
+            if probe_chunks <= 1:
+                probe_chunks = 0
         else:
             probe_chunks = 0
     if tile is None:

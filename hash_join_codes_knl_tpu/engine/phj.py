@@ -123,8 +123,14 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
         )
         if chunks > 1:
             # stay within the proven kernel geometry; if the true spans
-            # need more, the counted overflow re-plans with fewer chunks
-            window = min(window, GATHER_MAX_CHUNKS * 128)
+            # need more, the counted overflow re-plans the geometry.
+            # AUTO windows clamp one step below the 121-chunk compile
+            # ceiling: 118 chunks (15104) is the geometry reproduced in
+            # 6+ sessions, while a 121-chunk kernel compile was seen to
+            # crash the remote compile helper in r3 (the scoped-vmem
+            # budget 24 rows x 121 chunks sits exactly at the measured
+            # boundary).  Explicit plan.window values are not clamped.
+            window = min(window, (GATHER_MAX_CHUNKS - 3) * 128)
     window = -(-window // 128) * 128
     rows_total = max(-(-ni // 128), window // 128)
     return tile, window, rows_total, cap
@@ -463,7 +469,10 @@ def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
     the cap (one chunk past it silently drops to the dense sweep,
     pathological at these widths).  Shared by the single-chip `join` and
     the distributed `cpra_join` re-planners."""
-    GATHER_CAP = GATHER_MAX_CHUNKS * 128  # widest proven gather window
+    # re-planned windows target the session-proven 118-chunk geometry
+    # (15104); 121 chunks sits exactly at the measured scoped-vmem
+    # compile boundary (see _merge_params)
+    GATHER_CAP = (GATHER_MAX_CHUNKS - 3) * 128
     span = max(int(span), 128)
     C = max(1, plan.probe_chunks)
     want = -(-int(span * 1.25 + 384) // 128) * 128

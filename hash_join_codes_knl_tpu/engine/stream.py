@@ -256,8 +256,12 @@ def stream_join(
             if ovf == 0:
                 break
             # a skewed chunk overflowed its window: re-plan THIS and all
-            # later chunks with a doubled window (one recompile)
-            window *= 2
+            # later chunks from the MEASURED span (one recompile).
+            # Window-only: tile/chunk geometry must stay fixed so the
+            # spill fingerprint and chunk row order remain valid.
+            span = int(res.build_counts[1])
+            window = max(window + 128,
+                         -(-int(span * 1.25 + 384) // 128) * 128)
             plan = dataclasses.replace(plan, window=window)
             tile, window, rows_total, cap2 = _merge_params(
                 plan, ni, chunk_rows
