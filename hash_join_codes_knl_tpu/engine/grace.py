@@ -29,6 +29,17 @@ capacity retries with a doubled cap; a partition that would not fit the
 per-partition budget raises with the f_bits to use instead (recursive
 splitting is one more pass of the same machinery).
 
+Phase-1 spills are resumable (engine/stream.py semantics): each side
+writes a sidecar with the input fingerprint (rows, key checksum,
+scramble factor, f_bits) plus per-partition counts and column
+checksums.  A rerun over the same inputs and routing reuses the
+partition files instead of re-streaming the relation; every partition
+read in phase 2 re-verifies its column checksums, and a corrupt file
+recomputes that side's pass once rather than joining garbage.  Phase 2
+double-buffers: the next partition pair's host read + H2D transfer is
+issued before the current pair's join is consumed, so the link overlaps
+the per-partition compute exactly as the chunk stream does.
+
 Scale note (this dev box): the host<->device tunnel runs at ~0.04 GB/s,
 so full-scale runs are transfer-bound end to end -- the phase split and
 per-chip compute are what a production host link (PCIe/ICI) would see.
@@ -37,6 +48,7 @@ per-chip compute are what a production host link (PCIe/ICI) would see.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 
 import jax
@@ -63,6 +75,13 @@ class GraceResult:
     join_tuples: int
     partitions: list  # PartitionMeta per partition
     f_bits: int
+    # which sides resumed their phase-1 partition files from a prior
+    # run's spill (checksum-verified) instead of re-streaming
+    reused_sides: dict = dataclasses.field(default_factory=dict)
+
+
+class SpillCorrupt(ValueError):
+    """A partition file failed its sidecar checksum at load time."""
 
 
 def _on_tpu() -> bool:
@@ -77,19 +96,68 @@ def _append_u32(path: str, arr: np.ndarray) -> None:
         np.ascontiguousarray(arr, dtype="<u4").tofile(f)
 
 
+def _u64sum(arr: np.ndarray) -> int:
+    return int(np.sum(np.asarray(arr).astype(np.uint64), dtype=np.uint64))
+
+
+def _side_sidecar(d: str, side: str) -> str:
+    return os.path.join(d, f"{side}_partition.json")
+
+
+def _side_fingerprint(keys, factor: int, f_bits: int) -> dict:
+    """What determines the partition files' CONTENT (as a multiset):
+    the input rows themselves and the scramble/fanout routing.  The
+    streaming chunk size only permutes row order within a partition
+    file, which neither the join nor the checksums depend on."""
+    return {"rows": int(len(keys)), "input_checksum": _u64sum(keys),
+            "factor": int(factor), "f_bits": int(f_bits)}
+
+
+def _try_resume_side(d: str, side: str, fp: dict):
+    """Returns (counts, hk_csums, val_csums) if `side`'s phase-1 spill
+    matches this input/routing fingerprint and every partition file has
+    the recorded length; else None.  Column checksums are re-verified
+    lazily at phase-2 load (`load_column`), so a stale or
+    corrupt file is caught before any row is joined."""
+    try:
+        with open(_side_sidecar(d, side)) as f:
+            meta = json.load(f)
+        if {k: meta.get(k) for k in fp} != fp:
+            return None
+        counts = np.asarray(meta["counts"], np.int64)
+        for p in range(1 << fp["f_bits"]):
+            want = int(counts[p]) * 4
+            for col in ("hk", "val"):
+                path = os.path.join(d, f"{side}_{p}_{col}.bin")
+                if os.path.getsize(path) != want:
+                    return None
+        return (counts, [int(c) for c in meta["hk_checksums"]],
+                [int(c) for c in meta["val_checksums"]])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def _partition_side(
     keys, vals, factor: int, f_bits: int, chunk_rows: int, d: str,
     side: str, cap_retries: int = 3,
-) -> np.ndarray:
+):
     """Stream one relation through the chip's radix pass; append the
     compacted fragments to per-partition files `{side}_{p}_{hk,val}.bin`.
-    Returns per-partition row counts.  The pass emits zero-interleaved
-    regions (run tails pad with the null key); compaction is a host-side
-    nonzero mask, the analog of the reference's exact fragment counts."""
+    Returns (per-partition row counts, hk checksums, val checksums).
+    The pass emits zero-interleaved regions (run tails pad with the null
+    key); compaction is a host-side nonzero mask, the analog of the
+    reference's exact fragment counts.  A sidecar records the input
+    fingerprint + per-partition counts/checksums for reuse."""
     F = 1 << f_bits
     n = len(keys)
     counts = np.zeros(F, np.int64)
+    hk_csums = [0] * F
+    val_csums = [0] * F
     interp = not _on_tpu()
+    try:  # a half-written sidecar from a crashed run must not resume
+        os.remove(_side_sidecar(d, side))
+    except OSError:
+        pass
     for p in range(F):
         for col in ("hk", "val"):
             open(os.path.join(d, f"{side}_{p}_{col}.bin"), "wb").close()
@@ -119,10 +187,18 @@ def _partition_side(
         for p in range(F):
             live = bk[p] != 0
             assert int(live.sum()) == int(cnts[p])
-            _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), bk[p][live])
-            _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), bv[p][live])
+            frag_k, frag_v = bk[p][live], bv[p][live]
+            _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), frag_k)
+            _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), frag_v)
             counts[p] += int(cnts[p])
-    return counts
+            hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
+            val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
+    with open(_side_sidecar(d, side), "w") as f:
+        json.dump({**_side_fingerprint(keys, factor, f_bits),
+                   "counts": counts.tolist(),
+                   "hk_checksums": hk_csums,
+                   "val_checksums": val_csums}, f)
+    return counts, hk_csums, val_csums
 
 
 def grace_join(
@@ -158,10 +234,27 @@ def grace_join(
             max(1, len(outer_keys) >> f_bits),
         )
     F = 1 << f_bits
-    b_counts = _partition_side(inner_keys, inner_vals, plan.factor, f_bits,
-                               chunk_rows, spill_dir, "build")
-    p_counts = _partition_side(outer_keys, outer_vals, plan.factor, f_bits,
-                               chunk_rows, spill_dir, "probe")
+    sides = {"build": (inner_keys, inner_vals),
+             "probe": (outer_keys, outer_vals)}
+    side_state = {}  # side -> (counts, hk_csums, val_csums)
+    reused = {}
+
+    def compute_side(side):
+        k, v = sides[side]
+        side_state[side] = _partition_side(
+            k, v, plan.factor, f_bits, chunk_rows, spill_dir, side)
+        reused[side] = False
+
+    for side, (k, _) in sides.items():
+        fp = _side_fingerprint(k, plan.factor, f_bits)
+        hit = _try_resume_side(spill_dir, side, fp)
+        if hit is not None:
+            side_state[side] = hit
+            reused[side] = True
+        else:
+            compute_side(side)
+    b_counts = side_state["build"][0]
+    p_counts = side_state["probe"][0]
     if int(b_counts.max(initial=0)) > partition_budget_rows or int(
         p_counts.max(initial=0)
     ) > partition_budget_rows:
@@ -173,7 +266,6 @@ def grace_join(
         )
     inv = np.uint64(mod_inverse_u32(plan.factor))
     total = 0
-    metas = []
     # every partition pads to ONE static (build, probe) shape so a
     # single compiled join serves all F partitions -- per-partition
     # shapes would recompile F times (minutes each on a remote-compile
@@ -187,28 +279,50 @@ def grace_join(
         plan_join(nb_cap, np_cap), factor=1,
         skip_bits=plan.skip_bits + f_bits,
     )
-    for p in range(F):
-        nb, npr = int(b_counts[p]), int(p_counts[p])
-        meta = PartitionMeta(p, nb, npr, 0)
-        if nb == 0 or npr == 0:
-            metas.append(meta)
-            continue
 
-        def padded(path, n, cap):
-            a = _read_u32(path, n)
-            return np.concatenate([a, np.zeros(cap - n, np.uint32)])
+    def load_column(side, p, n, cap, col):
+        path = os.path.join(spill_dir, f"{side}_{p}_{col}.bin")
+        a = _read_u32(path, n)
+        csums = side_state[side][1 if col == "hk" else 2]
+        if _u64sum(a) != csums[p]:
+            raise SpillCorrupt(f"{path}: checksum mismatch")
+        return np.concatenate([a, np.zeros(cap - n, np.uint32)])
 
-        bk = padded(os.path.join(spill_dir, f"build_{p}_hk.bin"), nb, nb_cap)
-        bv = padded(os.path.join(spill_dir, f"build_{p}_val.bin"), nb,
-                    nb_cap)
-        pk = padded(os.path.join(spill_dir, f"probe_{p}_hk.bin"), npr,
-                    np_cap)
-        pv = padded(os.path.join(spill_dir, f"probe_{p}_val.bin"), npr,
-                    np_cap)
+    def load_side(side, p, n, cap):
+        """Read + verify one side's partition columns, then issue the
+        (async) H2D transfer.  A reused file that fails its checksum
+        recomputes that side's pass ONCE -- same inputs and routing, so
+        the counts (and thus every cap) are reproduced exactly."""
+        for attempt in (0, 1):
+            try:
+                hk = load_column(side, p, n, cap, "hk")
+                vl = load_column(side, p, n, cap, "val")
+                return jax.device_put(hk), jax.device_put(vl)
+            except SpillCorrupt:
+                if attempt or not reused[side]:
+                    raise
+                old_counts = side_state[side][0]
+                compute_side(side)
+                assert np.array_equal(side_state[side][0], old_counts)
+
+    def load_pair(p):
+        return (*load_side("build", p, int(b_counts[p]), nb_cap),
+                *load_side("probe", p, int(p_counts[p]), np_cap))
+
+    live = [p for p in range(F) if int(b_counts[p]) and int(p_counts[p])]
+    metas = [PartitionMeta(p, int(b_counts[p]), int(p_counts[p]), 0)
+             for p in range(F)]
+    loaded: dict = {}
+    for idx, p in enumerate(live):
+        meta = metas[p]
+        bk, bv, pk, pv = loaded.pop(p, None) or load_pair(p)
+        # double buffering: the next pair's disk read + H2D is in
+        # flight while this pair's join computes on the chip
+        if idx + 1 < len(live):
+            loaded[live[idx + 1]] = load_pair(live[idx + 1])
         res = None
         for _ in range(window_retries + 1):
-            res = phj_join(jnp.asarray(bk), jnp.asarray(bv),
-                           jnp.asarray(pk), jnp.asarray(pv), local)
+            res = phj_join(bk, bv, pk, pv, local)
             if not local.probe_impl.startswith("merge") or int(
                 res.build_counts[0]
             ) == 0:
@@ -232,5 +346,4 @@ def grace_join(
                 % (1 << 32)
             ).astype(np.uint32)
             on_partition(meta, res, raw_pk)
-        metas.append(meta)
-    return GraceResult(total, metas, f_bits)
+    return GraceResult(total, metas, f_bits, reused_sides=dict(reused))

@@ -6,10 +6,15 @@ sort-group-reduce, with NO scatter and NO gather anywhere (PERF_NOTES.md
 measures XLA scatter-add at 2.27 s and gather at ~115M elem/s for 256M
 rows on v5e -- both unusable at join-output scale):
 
-1. one fused sort groups equal keys (nulls last),
+1. one fused sort groups equal keys -- sorted on `keys - 1`, a u32
+   bijection that preserves nonzero-key order and wraps the null key 0
+   to the TOP, so nulls land last with no separate flag column (a full
+   1 GB sort column saved at 256M rows),
 2. an inclusive cumsum turns per-run sums into differences of the
    cumsum at run boundaries; each run-START row locally computes the
-   "prefix before me" (csum[i] - v[i]) -- no boundary lookups needed,
+   "prefix before me" (csum[i] - v[i]) -- no boundary lookups needed.
+   Valid rows form a PREFIX after the sort, so a run start's
+   prefix-count is simply its row index (no second cumsum),
 3. a second stable sort compacts the run-start rows to the front (the
    standard sort-based compaction, as ops/filter.py), and
 4. group totals fall out as neighbor differences of the compacted
@@ -36,20 +41,20 @@ def hash_aggregate(keys: jnp.ndarray, vals: jnp.ndarray):
     aligned join output feed this directly without materialization.
     """
     n = keys.shape[0]
-    # sort null keys last: flag is the primary sort key
-    null = (keys == PAD_KEY).astype(jnp.uint32)
-    _, k_s, v_s = jax.lax.sort((null, keys, vals), num_keys=2,
-                               is_stable=True)
+    # sort on keys-1 (order-preserving u32 bijection for nonzero keys;
+    # the null key 0 wraps to 0xFFFFFFFF and sorts LAST)
+    km1_s, v_s = jax.lax.sort((keys - jnp.uint32(1), vals), num_keys=1)
+    k_s = km1_s + jnp.uint32(1)
     valid = k_s != PAD_KEY
     newrun = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
     newrun &= valid
     v_live = jnp.where(valid, v_s, jnp.uint32(0))
     csum = jnp.cumsum(v_live, dtype=jnp.uint32)  # u32 wraparound is exact
-    ccnt = jnp.cumsum(valid.astype(jnp.uint32), dtype=jnp.uint32)
     # each run-start row carries the cumsum BEFORE its run -- computed
-    # locally (csum[i] - v[i]), so no cross-row lookup is ever needed
+    # locally (csum[i] - v[i]); its prefix COUNT is its row index (the
+    # valid rows are a contiguous prefix after the sort)
     pre_sum = csum - v_live
-    pre_cnt = ccnt - valid.astype(jnp.uint32)
+    pre_cnt = jnp.arange(n, dtype=jnp.uint32)
     # compact run starts to the front, preserving key order (stable sort
     # on the start flag); their prefix columns ride along
     flag = jnp.where(newrun, jnp.uint32(0), jnp.uint32(1))
@@ -59,7 +64,7 @@ def hash_aggregate(keys: jnp.ndarray, vals: jnp.ndarray):
     # group j's total = prefix of group j+1 minus its own prefix; the
     # last group closes against the grand totals
     tot_s = csum[n - 1]
-    tot_c = ccnt[n - 1]
+    tot_c = jnp.sum(valid.astype(jnp.uint32))
     nxt_s = jnp.concatenate([ps[1:], ps[-1:]])
     nxt_c = jnp.concatenate([pc[1:], pc[-1:]])
     j = jnp.arange(n, dtype=jnp.uint32)

@@ -113,8 +113,14 @@ def main():
         # Groups = the outer multiset by key (I distinct groups).
         from hash_join_codes_knl_tpu.ops.aggregate import hash_aggregate
 
+        # fold the per-rep variation INSIDE the jit: an eager `ov ^ rep`
+        # materializes an extra 1 GB the 256M-row double sort can't spare
+        @jax.jit
+        def _agg_xor(k, v, rep):
+            return hash_aggregate(k, v ^ rep)
+
         def run_agg(rep):
-            ng, gk, s, c = hash_aggregate(ok, ov ^ jnp.uint32(rep))
+            ng, gk, s, c = _agg_xor(ok, ov, jnp.uint32(rep))
             got = int(ng)
             assert got == I, got  # every build key drawn at least once
             return got

@@ -85,3 +85,46 @@ def test_grace_cli_driver(tmp_path):
     assert m["algorithm"] == "phj-grace"
     assert m["partitions"] == 4
     assert m["join_tuples"] == 8192
+
+
+def test_grace_phase1_reuse(tmp_path, workload):
+    """A rerun over identical inputs + routing reuses the phase-1
+    partition files (no re-streaming); changed routing recomputes."""
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "g4")
+    r1 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    assert r1.reused_sides == {"build": False, "probe": False}
+    r2 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    assert r2.reused_sides == {"build": True, "probe": True}
+    assert r2.join_tuples == r1.join_tuples
+    # a different chunk size only permutes rows within partition files:
+    # the fingerprint ignores it and the spill still reuses
+    r3 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=5000, spill_dir=d)
+    assert r3.reused_sides == {"build": True, "probe": True}
+    # different routing (fanout) must NOT reuse
+    r4 = grace_join(ik, iv, ok, ov, f_bits=3, chunk_rows=8000, spill_dir=d)
+    assert r4.reused_sides == {"build": False, "probe": False}
+    assert r4.join_tuples == r1.join_tuples
+
+
+def test_grace_corrupt_spill_recomputes(tmp_path, workload):
+    """Silent on-disk corruption of a reused partition file is caught by
+    the load-time checksum and recomputes that side's pass instead of
+    joining garbage."""
+    import os
+
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "g5")
+    r1 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    # flip one word of a nonempty probe partition's key file (size kept)
+    victim = next(
+        os.path.join(d, f"probe_{m.index}_hk.bin")
+        for m in r1.partitions if m.probe_rows and m.build_rows
+    )
+    raw = bytearray(open(victim, "rb").read())
+    raw[0] ^= 0xFF
+    open(victim, "wb").write(bytes(raw))
+    r2 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    assert r2.reused_sides["probe"] is False  # recomputed after checksum
+    assert r2.reused_sides["build"] is True
+    assert r2.join_tuples == r1.join_tuples
