@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -114,6 +115,15 @@ def main():
         print(f"mesh={m:3d}  {sec:8.4f}s  {O/sec/1e6:8.2f} M rows/s  "
               f"eff={eff:.2%}  corrected={eff_corr:.2%}", flush=True)
 
+    cores = os.cpu_count() or 1
+    if n_dev > cores:
+        results["_note"] = (
+            f"CPU-mesh weak scaling with {n_dev} virtual devices on "
+            f"{cores} host core(s): m>{cores} devices time-slice, so raw "
+            "efficiency is bounded by cores/m; serialization_corrected_"
+            "efficiency multiplies by m/cores to remove that bound. Figures "
+            "at heavy oversubscription are thrash-dominated, not the "
+            "algorithm. Real-ICI validation needs hardware (NEXT.md #1).")
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")
