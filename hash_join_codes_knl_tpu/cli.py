@@ -97,7 +97,9 @@ def main(argv=None):
                         "then per-partition merge joins stream through "
                         "the chip (engine/grace.py; needs --spill-dir; "
                         "--stream-chunk-rows sets the partition-pass "
-                        "chunk size)")
+                        "chunk size; threads > 1 runs the distributed "
+                        "pass + partition-parallel joins over a mesh, "
+                        "parallel/grace_dist.py)")
     p.add_argument("--spill-dir", default=None,
                    help="with --stream-chunk-rows: spill per-chunk "
                         "results + checkpoints here; a re-run resumes "
@@ -153,12 +155,31 @@ def main(argv=None):
         if not args.spill_dir:
             print("--grace-bits needs --spill-dir", file=sys.stderr)
             return 1
-        gres = timer.run(
-            "grace_join", grace_join, inner.keys, inner.vals,
-            outer.keys, outer.vals, f_bits=args.grace_bits,
-            chunk_rows=args.stream_chunk_rows or 32_000_000,
-            spill_dir=args.spill_dir,
-        )
+        if args.threads > 1:
+            # <threads> mesh devices: distributed radix pass + owner
+            # all_to_all, partition-parallel joins (parallel/grace_dist)
+            import jax
+
+            from .parallel.distributed import data_mesh
+            from .parallel.grace_dist import grace_join_dist
+
+            n_dev = max(1, min(args.threads, len(jax.devices())))
+            gres = timer.run(
+                "grace_join", grace_join_dist, inner.keys, inner.vals,
+                outer.keys, outer.vals, data_mesh(n_dev),
+                f_bits=args.grace_bits,
+                chunk_rows=max(
+                    128, (args.stream_chunk_rows or 32_000_000) // n_dev
+                ),
+                spill_dir=args.spill_dir,
+            )
+        else:
+            gres = timer.run(
+                "grace_join", grace_join, inner.keys, inner.vals,
+                outer.keys, outer.vals, f_bits=args.grace_bits,
+                chunk_rows=args.stream_chunk_rows or 32_000_000,
+                spill_dir=args.spill_dir,
+            )
         join_tuples = gres.join_tuples
         expect = expected_join_tuples(len(inner.keys), len(outer.keys))
         if args.outer <= args.inner and join_tuples != expect:

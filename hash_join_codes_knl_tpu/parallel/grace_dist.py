@@ -1,0 +1,397 @@
+"""Distributed Grace join: BOTH relations larger than the MESH's HBM.
+
+The single-chip Grace driver (engine/grace.py) already removes both
+in-HBM size limits on one chip; this module scales it across a device
+mesh -- the composition BASELINE config 5 (1B x 4B rows) asks for:
+the reference's fixed 4096-way decomposition + cross-thread memcpy
+re-aggregation (cpra2.cpp:1757-1906) re-expressed with the thread axis
+replaced by BOTH the chunk-stream axis (out-of-core) and the mesh axis
+(scale-out).  Two phases, both SPMD over the mesh:
+
+1. **Distributed partition pass.**  Each superchunk of (n_dev x
+   chunk_rows) host rows shards over the mesh; every device runs ONE
+   bounded-fanout Pallas radix pass (ops/radix_partition_pallas.py) at
+   fanout F = 2^f_bits.  Because the pass emits partition-contiguous
+   regions ordered by the top hash bits, and the owner device of
+   partition p is its top log2(n_dev) bits, a single tiled
+   `all_to_all` over the flattened regions IS the owner exchange --
+   device d receives exactly partitions [d*F/n, (d+1)*F/n) from every
+   peer, no re-pack needed (the memcpy re-aggregation of
+   cpra2.cpp:1896-1904 as one collective, riding ICI).  Each host then
+   appends only ITS devices' owned fragments to partition files
+   (engine/spill.py raw-u32 format) -- on a pod, phase-2 reads are
+   host-local by construction and no partition ever crosses DCN twice.
+
+2. **Partition-parallel joins.**  Round r joins partition d*F/n + r on
+   device d: per-partition columns load from the owner's files, pad to
+   ONE shared (build, probe) cap, and a single compiled shard_map'd
+   merge join serves all F/n rounds (per-partition shapes would
+   recompile per round).  Window overflow surfaces as a psum'd count +
+   pmax'd measured span, re-planned via engine.phj.replan_from_span
+   exactly like the single-chip drivers.
+
+Phase-1 spills use the SAME sidecar fingerprint and file layout as
+engine/grace.py -- the partition files' content (as a multiset) depends
+only on the input rows and the (factor, f_bits) routing, not on the
+chunk size or the mesh shape -- so a single-chip Grace spill resumes a
+distributed run and vice versa, and a corrupt reused file recomputes
+that side's pass once rather than joining garbage.
+
+Reference behavior being reproduced: phj.cpp:1791-1808 (multi-pass
+partitioning makes working sets independent of relation size),
+cpra2.cpp:1883-1971 (partition-parallel build/probe over re-aggregated
+fragments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.config import JoinPlan, plan_join
+from ..engine.grace import (
+    GraceResult,
+    PartitionMeta,
+    SpillCorrupt,
+    _append_u32,
+    _on_tpu,
+    _side_fingerprint,
+    _side_sidecar,
+    _try_resume_side,
+    _u64sum,
+)
+from ..engine.phj import JoinResult, phj_join, replan_from_span
+from ..engine.spill import _read_u32
+from ..ops.radix_partition_pallas import radix_partition_pallas
+from ..utils.hashing import hashed_key, mod_inverse_u32
+from .cpra import _engine_overflow, _engine_span, _owner_bits
+from .distributed import require_live_mesh
+
+
+def _make_partition_step(mesh: Mesh, axis: str, factor: int, f_bits: int,
+                         cap: int, interp: bool):
+    """One superchunk's distributed partition pass: per-device radix
+    pass + the owner all_to_all.  Returns fn(keys, vals) -> (hk regions,
+    val regions, counts, overflow), all but overflow sharded over
+    `axis`; received layout per device is (n_src, F/n_dev, capr)."""
+    n_dev = mesh.shape[axis]
+
+    def step(keys, vals):
+        hk = hashed_key(keys, factor)
+        bk, bv, cnts, ovf = radix_partition_pallas(
+            hk, vals, f_bits, cap=cap, interpret=interp
+        )
+        # regions are partition-contiguous by the top f_bits; owner(p) =
+        # top log2(n_dev) bits of p, so the tiled split IS the owner pack
+        a2a = functools.partial(
+            jax.lax.all_to_all, axis_name=axis, split_axis=0,
+            concat_axis=0, tiled=True,
+        )
+        rk, rv, rc = a2a(bk), a2a(bv), a2a(cnts)
+        ovf = jax.lax.psum((ovf != 0).astype(jnp.int32), axis)
+        return rk, rv, rc, ovf
+
+    spec = P(axis)
+    return jax.jit(
+        jax.shard_map(
+            step, mesh=mesh, in_specs=(spec, spec),
+            out_specs=(spec, spec, spec, P()), check_vma=False,
+        )
+    )
+
+
+def _partition_side_dist(
+    keys, vals, factor: int, f_bits: int, chunk_rows: int, d: str,
+    side: str, mesh: Mesh, axis: str, cap_retries: int = 3,
+):
+    """Stream one relation through the MESH's distributed radix pass;
+    append each owner device's received fragments to the per-partition
+    files `{side}_{p}_{hk,val}.bin`.  Same sidecar contract as
+    engine.grace._partition_side (the two spill formats are
+    interchangeable).  chunk_rows is rows PER DEVICE per superchunk."""
+    n_dev = mesh.shape[axis]
+    F = 1 << f_bits
+    Fl = F // n_dev
+    n = len(keys)
+    counts = np.zeros(F, np.int64)
+    hk_csums = [0] * F
+    val_csums = [0] * F
+    interp = not _on_tpu()
+    sh = NamedSharding(mesh, P(axis))
+    steps: dict = {}
+    try:  # a half-written sidecar from a crashed run must not resume
+        os.remove(_side_sidecar(d, side))
+    except OSError:
+        pass
+    for p in range(F):
+        for col in ("hk", "val"):
+            open(os.path.join(d, f"{side}_{p}_{col}.bin"), "wb").close()
+    super_rows = n_dev * chunk_rows
+    pos = 0
+    while pos < n:
+        ck = np.zeros(super_rows, np.uint32)
+        cv = np.zeros(super_rows, np.uint32)
+        take = min(super_rows, n - pos)
+        ck[:take] = np.asarray(keys[pos : pos + take])
+        cv[:take] = np.asarray(vals[pos : pos + take])
+        pos += take
+        # null-key pads in the tail superchunk are dropped by the pass
+        dk = jax.device_put(jnp.asarray(ck), sh)
+        dv = jax.device_put(jnp.asarray(cv), sh)
+        cap = 0  # pass's own estimate first
+        for attempt in range(cap_retries + 1):
+            if cap not in steps:
+                steps[cap] = _make_partition_step(
+                    mesh, axis, factor, f_bits, cap, interp
+                )
+            rk, rv, rc, ovf = steps[cap](dk, dv)
+            if int(ovf) == 0:
+                break
+            # overflow is a value: retry this superchunk, doubled cap
+            cap = 2 * (rk.shape[0] // (n_dev * F))
+        else:
+            raise RuntimeError(
+                f"distributed radix pass overflow persists for a "
+                f"{take}-row superchunk at fanout {F}; raise chunk_rows "
+                "granularity or f_bits"
+            )
+        capr = rk.shape[0] // (n_dev * F)
+        # (dst, src, local partition, region)
+        rk = np.asarray(rk).reshape(n_dev, n_dev, Fl, capr)
+        rv = np.asarray(rv).reshape(n_dev, n_dev, Fl, capr)
+        rc = np.asarray(rc).reshape(n_dev, n_dev, Fl)
+        for dst in range(n_dev):
+            for j in range(Fl):
+                p = dst * Fl + j
+                live = rk[dst, :, j] != 0
+                assert int(live.sum()) == int(rc[dst, :, j].sum())
+                frag_k = rk[dst, :, j][live]
+                frag_v = rv[dst, :, j][live]
+                if not len(frag_k):
+                    continue
+                _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), frag_k)
+                _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), frag_v)
+                counts[p] += len(frag_k)
+                hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
+                val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
+    import json
+
+    with open(_side_sidecar(d, side), "w") as f:
+        json.dump({**_side_fingerprint(keys, factor, f_bits),
+                   "counts": counts.tolist(),
+                   "hk_checksums": hk_csums,
+                   "val_checksums": val_csums}, f)
+    return counts, hk_csums, val_csums
+
+
+def _make_join_step(mesh: Mesh, axis: str, local_plan: JoinPlan):
+    """Phase-2 round: every device joins its round's partition pair.
+    diag = [psum'd engine overflow count, pmax'd measured span]."""
+
+    def step(bk, bv, pk, pv):
+        res = phj_join(bk, bv, pk, pv, local_plan)
+        diag = jnp.stack([
+            jax.lax.psum(
+                _engine_overflow(res, local_plan).astype(jnp.int32), axis
+            ),
+            jax.lax.pmax(
+                _engine_span(res, local_plan).astype(jnp.int32), axis
+            ),
+        ])
+        return res, diag
+
+    spec = P(axis)
+    return jax.jit(
+        jax.shard_map(
+            step, mesh=mesh, in_specs=(spec,) * 4,
+            out_specs=(JoinResult(spec, spec, spec, spec, spec), P()),
+            check_vma=False,
+        )
+    )
+
+
+def grace_join_dist(
+    inner_keys,
+    inner_vals,
+    outer_keys,
+    outer_vals,
+    mesh: Mesh,
+    f_bits: int = 6,
+    chunk_rows: int = 16_000_000,
+    spill_dir: str | None = None,
+    plan: JoinPlan | None = None,
+    partition_budget_rows: int = 220_000_000,
+    on_partition=None,
+    window_retries: int = 3,
+    axis: str = "x",
+    liveness_timeout_s: float | None = 30.0,
+) -> GraceResult:
+    """Join two host-resident relations over a device mesh; neither
+    relation needs to fit the mesh's combined HBM.  All four inputs are
+    numpy arrays or np.memmap; chunk_rows is rows per device per
+    phase-1 superchunk.
+
+    on_partition(meta, res_slices, raw_probe_keys) is called per
+    partition with that partition's aligned join-output columns
+    (probe keys already unscrambled); without it only counts are
+    accumulated.  Requires f_bits >= log2(n_devices) (every device owns
+    at least one partition)."""
+    if spill_dir is None:
+        raise ValueError("grace_join_dist needs spill_dir")
+    if chunk_rows <= 0:
+        raise ValueError("chunk_rows must be positive")
+    os.makedirs(spill_dir, exist_ok=True)
+    n_dev = mesh.shape[axis]
+    dev_bits = _owner_bits(n_dev)
+    if f_bits < dev_bits:
+        raise ValueError(
+            f"f_bits={f_bits} < log2(n_devices)={dev_bits}: every device "
+            "must own at least one partition"
+        )
+    F = 1 << f_bits
+    Fl = F // n_dev
+    if plan is None:
+        plan = plan_join(
+            max(1, len(inner_keys) >> f_bits),
+            max(1, len(outer_keys) >> f_bits),
+        )
+    # stage boundary: fail fast instead of hanging in the exchange
+    require_live_mesh(mesh, liveness_timeout_s, axis,
+                      stage="grace_dist_partition")
+    sides = {"build": (inner_keys, inner_vals),
+             "probe": (outer_keys, outer_vals)}
+    side_state = {}
+    reused = {}
+
+    def compute_side(side):
+        k, v = sides[side]
+        side_state[side] = _partition_side_dist(
+            k, v, plan.factor, f_bits, chunk_rows, spill_dir, side,
+            mesh, axis)
+        reused[side] = False
+
+    for side, (k, _) in sides.items():
+        fp = _side_fingerprint(k, plan.factor, f_bits)
+        hit = _try_resume_side(spill_dir, side, fp)
+        if hit is not None:
+            side_state[side] = hit
+            reused[side] = True
+        else:
+            compute_side(side)
+    b_counts = side_state["build"][0]
+    p_counts = side_state["probe"][0]
+    if int(b_counts.max(initial=0)) > partition_budget_rows or int(
+        p_counts.max(initial=0)
+    ) > partition_budget_rows:
+        raise RuntimeError(
+            f"a partition exceeds the per-partition budget "
+            f"({int(max(b_counts.max(), p_counts.max()))} rows > "
+            f"{partition_budget_rows}): re-run with f_bits={f_bits + 2} "
+            "(one more level of the same pass handles any skew)"
+        )
+    inv = np.uint64(mod_inverse_u32(plan.factor))
+    # ONE static (build, probe) cap across all rounds and devices: a
+    # single compiled join program serves all F partitions
+    nb_cap = -(-max(int(b_counts.max(initial=0)), 128) // 128) * 128
+    np_cap = -(-max(int(p_counts.max(initial=0)), 128) // 128) * 128
+    # keys are already scrambled: factor=1 makes hashed_key the identity
+    # and the local engine skips the f_bits the routing consumed
+    local = dataclasses.replace(
+        plan_join(nb_cap, np_cap), factor=1,
+        skip_bits=plan.skip_bits + f_bits,
+    )
+
+    def load_column(side, p, n_rows, cap, col):
+        path = os.path.join(spill_dir, f"{side}_{p}_{col}.bin")
+        a = _read_u32(path, n_rows)
+        csums = side_state[side][1 if col == "hk" else 2]
+        if _u64sum(a) != csums[p]:
+            raise SpillCorrupt(f"{path}: checksum mismatch")
+        return np.concatenate([a, np.zeros(cap - n_rows, np.uint32)])
+
+    def load_side(side, p, n_rows, cap):
+        """Read + verify one partition's columns; a reused file that
+        fails its checksum recomputes that side's pass ONCE (same
+        inputs and routing reproduce every count exactly)."""
+        if n_rows == 0:
+            z = np.zeros(cap, np.uint32)
+            return z, z
+        for attempt in (0, 1):
+            try:
+                return (load_column(side, p, n_rows, cap, "hk"),
+                        load_column(side, p, n_rows, cap, "val"))
+            except SpillCorrupt:
+                if attempt or not reused[side]:
+                    raise
+                old_counts = side_state[side][0]
+                compute_side(side)
+                assert np.array_equal(side_state[side][0], old_counts)
+
+    metas = [PartitionMeta(p, int(b_counts[p]), int(p_counts[p]), 0)
+             for p in range(F)]
+    total = 0
+    sh = NamedSharding(mesh, P(axis))
+    require_live_mesh(mesh, liveness_timeout_s, axis,
+                      stage="grace_dist_join")
+    join_steps: dict = {}
+    for r in range(Fl):
+        parts = [d * Fl + r for d in range(n_dev)]
+        if not any(int(b_counts[p]) and int(p_counts[p]) for p in parts):
+            continue  # nothing joins this round on any device
+        cols = [[], [], [], []]
+        for p in parts:
+            # a pair empty on either side contributes only null pads
+            nb = int(b_counts[p]) if int(p_counts[p]) else 0
+            npr = int(p_counts[p]) if int(b_counts[p]) else 0
+            bkc, bvc = load_side("build", p, nb, nb_cap)
+            pkc, pvc = load_side("probe", p, npr, np_cap)
+            for c, a in zip(cols, (bkc, bvc, pkc, pvc)):
+                c.append(a)
+        args = tuple(
+            jax.device_put(jnp.asarray(np.concatenate(c)), sh)
+            for c in cols
+        )
+        res = None
+        for _ in range(window_retries + 1):
+            key = (local.tile, local.window, local.probe_chunks)
+            if key not in join_steps:
+                join_steps[key] = _make_join_step(mesh, axis, local)
+            res, diag = join_steps[key](*args)
+            if not local.probe_impl.startswith("merge") or int(
+                diag[0]
+            ) == 0:
+                break
+            span = int(diag[1])
+            res = None
+            local = replan_from_span(local, span)
+        if res is None or (
+            local.probe_impl.startswith("merge") and int(diag[0]) != 0
+        ):
+            raise RuntimeError(
+                f"round {r}: window overflow persists across re-plans"
+            )
+        mc = np.asarray(res.match_cnts)
+        cap_out = len(mc) // n_dev
+        for d, p in enumerate(parts):
+            sl = slice(d * cap_out, (d + 1) * cap_out)
+            jt = int(np.sum(mc[sl].astype(np.int64)))
+            metas[p].join_tuples = jt
+            total += jt
+            if on_partition and metas[p].build_rows and metas[p].probe_rows:
+                pk = np.asarray(res.probe_keys)[sl]
+                raw_pk = (
+                    pk.astype(np.uint64) * inv % (1 << 32)
+                ).astype(np.uint32)
+                res_slice = JoinResult(
+                    pk, np.asarray(res.probe_vals)[sl],
+                    np.asarray(res.match_vals)[sl], mc[sl],
+                    np.asarray(res.build_counts),
+                )
+                on_partition(metas[p], res_slice, raw_pk)
+    return GraceResult(total, metas, f_bits, reused_sides=dict(reused))
