@@ -44,7 +44,7 @@ def pack_by_owner(keys, vals, owner, n_owners: int, cap: int):
 
 
 def pack_by_owner_radix(keys, vals, factor: int, c_bits: int,
-                        interpret: bool = False):
+                        cap: int = 0, interpret: bool = False):
     """Owner pack through ONE bounded-fanout Pallas radix pass -- the
     regime where the histogram+scatter kernel beats the fused sort
     (0.49 s vs 1.31 s per 256M tuples at <=64-way on v5e;
@@ -52,15 +52,20 @@ def pack_by_owner_radix(keys, vals, factor: int, c_bits: int,
 
     Owner chip = top c_bits of hk = key*factor, exactly the pass's own
     partition function, so the pass IS the pack.  Buckets come back
-    zero-interleaved at the pass's capacity (every consumer masks null
-    keys), carrying hk -- the caller multiplies by the modular inverse
-    after the exchange to restore raw keys.  Returns
+    zero-interleaved (every consumer masks null keys), carrying hk --
+    the caller multiplies by the modular inverse after the exchange to
+    restore raw keys.  `cap` is the per-owner bucket capacity in tuples
+    (the exchange-planning knob, rounded up to the pass's 128-row
+    quantum; 0 = the pass's own estimate), so cap-based memory planning
+    applies to this pack exactly as to the sort pack -- overflow beyond
+    it is the returned signal, never silent.  Returns
     (bucket_hk (C*capr,), bucket_vals, counts (C,), overflow)."""
     from ..ops.radix_partition_pallas import radix_partition_pallas
     from ..utils.hashing import hashed_key as _hk
 
     hk = _hk(keys, factor)
-    return radix_partition_pallas(hk, vals, c_bits, interpret=interpret)
+    return radix_partition_pallas(hk, vals, c_bits, cap=cap,
+                                  interpret=interpret)
 
 
 def _engine_overflow(res, local_plan):
@@ -144,10 +149,11 @@ def make_cpra_step(
     then a second hash picks the chip within the half.
     pack_impl: "sort" (fused-sort pack into inner_cap/outer_cap buckets)
     or "radix" (ONE bounded-fanout Pallas histogram+scatter pass as the
-    pack -- the kernel's measured winning regime at <=64-way; bucket
-    capacity is the pass's own, caps are ignored, zero-interleaved
-    buckets carry hk and keys are restored after the exchange).  Tier
-    routing requires "sort" (the tier hash is not a top-bits partition).
+    pack -- the kernel's measured winning regime at <=64-way;
+    inner_cap/outer_cap bound its buckets too, rounded to the pass's
+    128-row quantum; zero-interleaved buckets carry hk and keys are
+    restored after the exchange).  Tier routing requires "sort" (the
+    tier hash is not a top-bits partition).
     Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, diag): inputs
     sharded along `axis`, result leaves chip-local (the aligned join output
     never needs to be gathered).  diag is a replicated (3,) int32 vector
@@ -217,12 +223,19 @@ def make_cpra_step(
             # exchange by the modular inverse
             interp = jax.devices()[0].platform == "cpu"
             bik, biv, icnt, iovf = pack_by_owner_radix(
-                ik, iv, plan.factor, c_bits, interpret=interp
+                ik, iv, plan.factor, c_bits, cap=inner_cap,
+                interpret=interp,
             )
             bok, bov, ocnt, oovf = pack_by_owner_radix(
-                ok, ov, plan.factor, c_bits, interpret=interp
+                ok, ov, plan.factor, c_bits, cap=outer_cap,
+                interpret=interp,
             )
+            # two overflow layers: the pass's own capacity (tuples
+            # dropped -- must retry) and the PLANNED caps (counts
+            # exceeded the exchange budget; same signal as the sort
+            # pack so cap-based planning stays honest across packs)
             overflow |= (iovf != 0) | (oovf != 0)
+            overflow |= jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
             from ..utils.hashing import mod_inverse_u32
 
             inv = jnp.uint32(mod_inverse_u32(plan.factor))

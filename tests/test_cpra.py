@@ -213,3 +213,11 @@ def test_cpra_radix_pack_matches_sort_pack():
     res_s, _, diag_s = step_s(*args)
     assert int(diag_s[0]) == 0 and int(diag_s[1]) == 0
     assert digest(res_s) == want
+
+    # cap-based memory planning applies to the radix pack too: a
+    # too-small outer_cap must surface as EXCHANGE overflow (diag[0]),
+    # never silently drop tuples behind the pass's own capacity
+    step_tight = make_cpra_step(mesh, plan, inner_cap=2048,
+                                outer_cap=128, pack_impl="radix")
+    _, _, diag_t = step_tight(*args)
+    assert int(diag_t[0]) > 0
