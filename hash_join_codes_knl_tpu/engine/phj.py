@@ -237,6 +237,18 @@ def _merge_impl(plan: JoinPlan, window: int) -> str:
 # scalar-core branching loses at ROW granularity too, not just
 # per-(row, chunk) (PERF_NOTES "per-compile dice" + dense-kernel note)
 _GATHER_ROW_SKIP = os.environ.get("HJK_GATHER_ROW_SKIP", "0") != "0"
+# boundary-select engine: "flat" (W,128) reduce, "hier" two-level
+# count, or "auto" = hier once the flat reduce would dominate the row
+# (wide windows); threshold from the A/B harness (scripts/
+# bench_probe_ab.py HJK_GATHER_SELECT)
+_GATHER_SELECT = os.environ.get("HJK_GATHER_SELECT", "flat")
+_HIER_MIN_CHUNKS = 24
+
+
+def _gather_select(window: int) -> str:
+    if _GATHER_SELECT != "auto":
+        return _GATHER_SELECT
+    return "hier" if window // 128 >= _HIER_MIN_CHUNKS else "flat"
 
 
 def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
@@ -250,7 +262,8 @@ def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
         from ..ops.merge_probe_gather import merge_probe_gather
 
         mv, mc = merge_probe_gather(ohk_s, bhk2, bval2, wrow, tile, window,
-                                    row_skip=_GATHER_ROW_SKIP)
+                                    row_skip=_GATHER_ROW_SKIP,
+                                    select=_gather_select(window))
     elif impl == "merge_pallas":
         mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
     else:

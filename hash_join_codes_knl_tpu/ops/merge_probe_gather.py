@@ -51,7 +51,8 @@ from .merge_probe_pallas import (
 )
 
 
-def _gather_row_result_factory(w_chunks: int, row_skip: bool = True):
+def _gather_row_result_factory(w_chunks: int, row_skip: bool = True,
+                               select: str = "flat"):
     def factory(kwin, vwin):
         bias = jnp.int32(_BIAS)
         # window transposed: slot s of chunk w lives at [s, w].  The lane
@@ -71,17 +72,72 @@ def _gather_row_result_factory(w_chunks: int, row_skip: bool = True):
         bndT = pltpu.bitcast(wkT, jnp.int32) ^ bias  # (128, 128)
         bnd_col = bndT[0:1, :w_chunks]  # (1, W): first slot of each chunk
 
+        if select == "hier":
+            # two-level select (per tile, hoisted out of the row loop):
+            # pad lanes get +INT32_MAX so they never count as < or <=
+            # any probe; L1 holds every 8th boundary on sublanes
+            imax = jnp.int32(2**31 - 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            bnd_row = jnp.where(lane < w_chunks, bndT[0:1, :], imax)
+            # (16, 128): L1[j] = boundary[8j] broadcast over lanes
+            l1 = jnp.broadcast_to(bnd_row.reshape(16, 8)[:, 0:1],
+                                  (16, 128))
+            bnd8 = jnp.broadcast_to(bnd_row, (8, 128))
+            sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            w1 = -(-w_chunks // 8)
+            l1_valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) < w1
+            )
+
+            def count_bounds(ok):
+                """(n_lt, n_le) counts of boundaries </<= probe: coarse
+                count over the 16 L1 rows picks the transition 8-block,
+                one lane gather refines it to boundary granularity --
+                exact for every case incl. a probe below the window
+                (block 0 then counts zero).  `<` needs no pad masks
+                (imax pads never compare below any probe); `<=` masks
+                the probe == 0xFFFFFFFF edge where pads would count."""
+                okb = jnp.broadcast_to(ok, (16, 128))
+                ok8 = jnp.broadcast_to(ok, (8, 128))
+
+                def level(cmp_l1):
+                    g = jnp.sum(cmp_l1.astype(jnp.int32), axis=0,
+                                keepdims=True)
+                    base = jnp.maximum(g - 1, 0)
+                    idx = base * 8 + sub8  # (8, 128), always < 128
+                    r8 = jnp.take_along_axis(bnd8, idx, axis=1)
+                    return base, r8, idx
+
+                base_lt, r8_lt, _ = level(l1 < okb)
+                base_le, r8_le, idx_le = level((l1 <= okb) & l1_valid)
+                n_lt = base_lt * 8 + jnp.sum(
+                    (r8_lt < ok8).astype(jnp.int32), axis=0,
+                    keepdims=True,
+                )
+                n_le = base_le * 8 + jnp.sum(
+                    ((r8_le <= ok8) & (idx_le < w_chunks)).astype(
+                        jnp.int32
+                    ),
+                    axis=0, keepdims=True,
+                )
+                return n_lt, n_le
+
         def row_result(ok_u32):
             ok = pltpu.bitcast(ok_u32, jnp.int32) ^ bias  # (1, 128)
-            # select: boundary-vs-probe compare matrices (W x 128)
-            okb = jnp.broadcast_to(ok, (w_chunks, 128))
-            bb = jnp.broadcast_to(
-                jnp.transpose(bnd_col, (1, 0)), (w_chunks, 128)
-            )
-            cs = jnp.sum((bb < okb).astype(jnp.int32), axis=0,
-                         keepdims=True) - 1  # (1,128)
-            ce = jnp.sum((bb <= okb).astype(jnp.int32), axis=0,
-                         keepdims=True) - 1
+            if select == "hier":
+                n_lt, n_le = count_bounds(ok)
+                cs = n_lt - 1
+                ce = n_le - 1
+            else:
+                # select: boundary-vs-probe compare matrices (W x 128)
+                okb = jnp.broadcast_to(ok, (w_chunks, 128))
+                bb = jnp.broadcast_to(
+                    jnp.transpose(bnd_col, (1, 0)), (w_chunks, 128)
+                )
+                cs = jnp.sum((bb < okb).astype(jnp.int32), axis=0,
+                             keepdims=True) - 1  # (1,128)
+                ce = jnp.sum((bb <= okb).astype(jnp.int32), axis=0,
+                             keepdims=True) - 1
             # clamp BEFORE the run arithmetic: cs=-1 (run starts at the
             # window's first chunk) must alias chunk 0, not add a phantom
             # middle chunk / a double count of chunk 0
@@ -164,7 +220,7 @@ def _gather_row_result_factory(w_chunks: int, row_skip: bool = True):
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "window", "interpret",
-                                    "row_skip"))
+                                    "row_skip", "select"))
 def merge_probe_gather(
     probe_hk: jnp.ndarray,  # (N_pad,) sorted by key within each tile's chunk
     build_hk2d: jnp.ndarray,  # (rows, 128) sorted (key asc, val-secondary)
@@ -174,18 +230,25 @@ def merge_probe_gather(
     window: int,  # slots, multiple of 128; at most 128 chunks (16384)
     interpret: bool = False,
     row_skip: bool = True,
+    select: str = "flat",
 ):
     """Same contract as merge_probe_pallas, with two requirements on the
     callers: (a) window <= 16384 slots (chunk index fits one lane gather),
     (b) the BUILD side sorted with the value as the secondary key (for
     exact max-val on duplicate runs; engine/phj.py sorts the probe side
     with num_keys=1 -- probe order affects only window locality, not
-    correctness).  Exact match counts for any M:N."""
+    correctness).  Exact match counts for any M:N.
+
+    select: "flat" = one (W, 128) compare-reduce pair per row; "hier" =
+    two-level boundary count (16-row coarse pass + one 8-wide lane
+    gather refinement) whose per-row cost is width-independent -- the
+    candidate for wide windows where the flat reduce is ~1/3 of the
+    row's vreg ops (NEXT.md #2)."""
     assert window % 128 == 0 and window // 128 <= 128, window
     n_tiles = probe_hk.shape[0] // tile
     kernel = make_window_probe_kernel(
         window // 128, n_tiles,
-        _gather_row_result_factory(window // 128, row_skip),
+        _gather_row_result_factory(window // 128, row_skip, select),
     )
     return window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
                              window_row, tile, window, interpret)

@@ -92,6 +92,7 @@ def main():
     med = {k: float(np.median([p[k] for p in phases])) for k in phases[0]}
     print(json.dumps({
         "row_skip": os.environ.get("HJK_GATHER_ROW_SKIP", "0"),
+        "select": os.environ.get("HJK_GATHER_SELECT", "flat"),
         "phases": {k: round(v, 4) for k, v in med.items()},
         "staged_total": round(sum(med.values()), 4),
         "join_tuples": jt,

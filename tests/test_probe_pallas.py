@@ -132,8 +132,8 @@ def test_merge_probe_constant_key_tiles():
 
 
 def _gather_case(bhk, bval, ohk, tile, window):
-    """Run gather kernel + jnp oracle on explicitly constructed sorted
-    arrays; both must agree exactly."""
+    """Run the gather kernel (BOTH select engines) + jnp oracle on
+    explicitly constructed sorted arrays; all must agree exactly."""
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
@@ -149,12 +149,15 @@ def _gather_case(bhk, bval, ohk, tile, window):
     ohk_j = jnp.asarray(ohk)
     wrow, stats = _merge_windows(jnp.asarray(bhk), ohk_j, tile, window, rows)
     assert int(stats[0]) == 0
-    with pltpu.force_tpu_interpret_mode():
-        mv1, mc1 = merge_probe_gather(ohk_j, bhk2, bval2, wrow, tile,
-                                      window)
     mv0, mc0 = merge_probe_jnp(ohk_j, bhk2, bval2, wrow, tile, window)
-    np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0))
-    np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
+    for select in ("flat", "hier"):
+        with pltpu.force_tpu_interpret_mode():
+            mv1, mc1 = merge_probe_gather(ohk_j, bhk2, bval2, wrow, tile,
+                                          window, select=select)
+        np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0),
+                                      err_msg=select)
+        np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0),
+                                      err_msg=select)
     return np.asarray(mc1)
 
 
@@ -198,6 +201,27 @@ def test_merge_probe_gather_long_duplicate_runs():
     ohk = np.sort(ohk)
     mc = _gather_case(bhk, bval, ohk, tile=2048, window=1664)
     assert mc.max() == 1300
+
+
+def test_merge_probe_gather_wide_window_and_max_key():
+    """Production-width window (118 chunks, the re-planned geometry):
+    exercises the hier select's multi-block coarse level, plus the
+    0xFFFFFFFF probe edge where imax pads would miscount an unmasked
+    <= compare."""
+    rng = np.random.default_rng(34)
+    n_build = 130 * 128
+    bhk = rng.integers(1, 2**32, n_build, dtype=np.uint32)
+    bhk[: 300] = 0xFFFFFFFF  # a duplicate run at the key-domain top
+    bhk = np.sort(bhk)
+    bval = rng.integers(0, 2**32, n_build, dtype=np.uint32)
+    order = np.lexsort((bval, bhk))
+    bhk, bval = bhk[order], bval[order]
+    cap = 4 * 1024
+    ohk = bhk[rng.integers(0, n_build, cap)].astype(np.uint32)
+    ohk[: cap // 8] = 0xFFFFFFFF
+    ohk = np.sort(ohk)
+    mc = _gather_case(bhk, bval, ohk, tile=1024, window=118 * 128)
+    assert mc.max() >= 300
 
 
 def test_merge_probe_gather_boundary_and_pads():
