@@ -104,3 +104,37 @@ def test_fuzz_cpra_vs_oracle(seed):
         )
         got = multiset_digest(*materialize_expanded(flat, ik, iv))
     assert got == multiset_digest(*want_rows)
+
+
+@pytest.mark.parametrize("seed", range(401, 405))
+def test_fuzz_grace_dist_vs_oracle(seed, tmp_path):
+    """Distributed Grace join on random workloads, meshes, fanouts and
+    superchunk sizes: cardinality always, full multiset digest (M:N via
+    the expansion op over the global build relation) always."""
+    from hash_join_codes_knl_tpu.engine.phj import JoinResult
+    from hash_join_codes_knl_tpu.parallel.distributed import data_mesh
+    from hash_join_codes_knl_tpu.parallel.grace_dist import grace_join_dist
+
+    rng = np.random.default_rng(seed)
+    ik, iv, ok, ov, _ = _case(seed)
+    n_dev = int(rng.choice([2, 4]))
+    mesh = data_mesh(n_dev)
+    f_bits = int(rng.integers((n_dev - 1).bit_length(), 5))
+    chunk_rows = int(rng.integers(500, 4000))
+    cols = [[], [], [], []]
+
+    def collect(meta, res, raw_pk):
+        for c, a in zip(cols, (raw_pk, res.probe_vals, res.match_vals,
+                               res.match_cnts)):
+            c.append(np.asarray(a))
+
+    gres = grace_join_dist(ik, iv, ok, ov, mesh, f_bits=f_bits,
+                           chunk_rows=chunk_rows,
+                           spill_dir=str(tmp_path / "fz"),
+                           on_partition=collect)
+    want_rows = join_oracle(ik, iv, ok, ov)
+    assert gres.join_tuples == len(want_rows[0])
+    flat = JoinResult(*(np.concatenate(c) if c else np.zeros(0, np.uint32)
+                        for c in cols), np.zeros(2, np.int32))
+    got = multiset_digest(*materialize_expanded(flat, ik, iv))
+    assert got == multiset_digest(*want_rows)
