@@ -340,12 +340,13 @@ def grace_join_dist(
     require_live_mesh(mesh, liveness_timeout_s, axis,
                       stage="grace_dist_join")
     join_steps: dict = {}
-    for r in range(Fl):
-        parts = [d * Fl + r for d in range(n_dev)]
-        if not any(int(b_counts[p]) and int(p_counts[p]) for p in parts):
-            continue  # nothing joins this round on any device
+
+    def round_parts(r):
+        return [d * Fl + r for d in range(n_dev)]
+
+    def build_args(r):
         cols = [[], [], [], []]
-        for p in parts:
+        for p in round_parts(r):
             # a pair empty on either side contributes only null pads
             nb = int(b_counts[p]) if int(p_counts[p]) else 0
             npr = int(p_counts[p]) if int(b_counts[p]) else 0
@@ -353,16 +354,32 @@ def grace_join_dist(
             pkc, pvc = load_side("probe", p, npr, np_cap)
             for c, a in zip(cols, (bkc, bvc, pkc, pvc)):
                 c.append(a)
-        args = tuple(
+        return tuple(
             jax.device_put(jnp.asarray(np.concatenate(c)), sh)
             for c in cols
         )
+
+    live_rounds = [
+        r for r in range(Fl)
+        if any(int(b_counts[p]) and int(p_counts[p])
+               for p in round_parts(r))
+    ]
+    pending = None
+    for idx, r in enumerate(live_rounds):
+        parts = round_parts(r)
+        args = pending if pending is not None else build_args(r)
         res = None
-        for _ in range(window_retries + 1):
+        for attempt in range(window_retries + 1):
             key = (local.tile, local.window, local.probe_chunks)
             if key not in join_steps:
                 join_steps[key] = _make_join_step(mesh, axis, local)
             res, diag = join_steps[key](*args)
+            # double buffering: the next round's disk reads + H2D go
+            # out while this round's join is still in flight on the
+            # mesh (the diag read below is what forces completion)
+            if attempt == 0:
+                pending = (build_args(live_rounds[idx + 1])
+                           if idx + 1 < len(live_rounds) else None)
             if not local.probe_impl.startswith("merge") or int(
                 diag[0]
             ) == 0:
