@@ -30,15 +30,23 @@ per-partition budget raises with the f_bits to use instead (recursive
 splitting is one more pass of the same machinery).
 
 Phase-1 spills are resumable (engine/stream.py semantics): each side
-writes a sidecar with the input fingerprint (rows, key checksum,
-scramble factor, f_bits) plus per-partition counts and column
-checksums.  A rerun over the same inputs and routing reuses the
+writes a sidecar with the input fingerprint (rows, key + value
+checksums, scramble factor, f_bits) plus per-partition counts and
+column checksums.  A rerun over the same inputs and routing reuses the
 partition files instead of re-streaming the relation; every partition
 read in phase 2 re-verifies its column checksums, and a corrupt file
 recomputes that side's pass once rather than joining garbage.  Phase 2
 double-buffers: the next partition pair's host read + H2D transfer is
 issued before the current pair's join is consumed, so the link overlaps
 the per-partition compute exactly as the chunk stream does.
+
+Phase 2 is ALSO resumable: completed partitions append to a progress
+journal (join_progress.jsonl -- header = both sides' fingerprints, one
+record per joined partition), so a crash during the join phase redoes
+only the unjournaled tail on rerun.  Resume is counts-only: attaching
+an on_partition row consumer disables journal consumption (every
+partition re-joins so the callback sees all rows) while still writing
+records for later counts-only reruns.
 
 Scale note (this dev box): the host<->device tunnel runs at ~0.04 GB/s,
 so full-scale runs are transfer-bound end to end -- the phase split and
@@ -78,6 +86,9 @@ class GraceResult:
     # which sides resumed their phase-1 partition files from a prior
     # run's spill (checksum-verified) instead of re-streaming
     reused_sides: dict = dataclasses.field(default_factory=dict)
+    # partitions whose phase-2 join was resumed from the progress
+    # journal (counts-only; 0 whenever a row consumer is attached)
+    resumed_partitions: int = 0
 
 
 class SpillCorrupt(ValueError):
@@ -104,12 +115,14 @@ def _side_sidecar(d: str, side: str) -> str:
     return os.path.join(d, f"{side}_partition.json")
 
 
-def _side_fingerprint(keys, factor: int, f_bits: int) -> dict:
+def _side_fingerprint(keys, vals, factor: int, f_bits: int) -> dict:
     """What determines the partition files' CONTENT (as a multiset):
-    the input rows themselves and the scramble/fanout routing.  The
-    streaming chunk size only permutes row order within a partition
-    file, which neither the join nor the checksums depend on."""
+    the input rows themselves (BOTH columns -- same keys with new
+    payloads must not resume stale value files) and the scramble/fanout
+    routing.  The streaming chunk size only permutes row order within a
+    partition file, which neither the join nor the checksums depend on."""
     return {"rows": int(len(keys)), "input_checksum": _u64sum(keys),
+            "val_checksum": _u64sum(vals),
             "factor": int(factor), "f_bits": int(f_bits)}
 
 
@@ -135,6 +148,59 @@ def _try_resume_side(d: str, side: str, fp: dict):
                 [int(c) for c in meta["val_checksums"]])
     except (OSError, ValueError, KeyError):
         return None
+
+
+def _journal_path(d: str) -> str:
+    return os.path.join(d, "join_progress.jsonl")
+
+
+def _load_journal(d: str, fp: dict):
+    """Phase-2 progress journal: header line = the run fingerprint
+    (both sides' input/routing fingerprints), then one record per
+    completed partition.  Returns {partition: join_tuples} when the
+    header matches this run, else None (start a fresh journal).  A
+    torn tail line from a crash is ignored -- that partition simply
+    re-joins."""
+    try:
+        with open(_journal_path(d)) as f:
+            lines = f.read().splitlines()
+        if not lines or json.loads(lines[0]) != fp:
+            return None
+        done = {}
+        for ln in lines[1:]:
+            try:
+                rec = json.loads(ln)
+                done[int(rec["p"])] = int(rec["join_tuples"])
+            except (ValueError, KeyError):
+                continue
+        return done
+    except (OSError, ValueError):
+        return None
+
+
+def _start_journal(d: str, fp: dict) -> None:
+    with open(_journal_path(d), "w") as f:
+        f.write(json.dumps(fp) + "\n")
+
+
+def _journal_append(d: str, p: int, jt: int) -> None:
+    with open(_journal_path(d), "a") as f:
+        f.write(json.dumps({"p": int(p), "join_tuples": int(jt)}) + "\n")
+
+
+def _phase2_journal(d: str, sides: dict, factor, f_bits, on_partition):
+    """Open (or resume) the phase-2 journal for this run.  Returns the
+    completed {partition: join_tuples} map -- forced empty when a row
+    consumer is attached, because resuming would skip its on_partition
+    callbacks; the journal is still WRITTEN in that case so a later
+    counts-only rerun can resume from it."""
+    fp = {s: _side_fingerprint(k, v, factor, f_bits)
+          for s, (k, v) in sides.items()}
+    done = _load_journal(d, fp)
+    if done is None:
+        _start_journal(d, fp)
+        done = {}
+    return {} if on_partition else done
 
 
 def _partition_side(
@@ -194,7 +260,7 @@ def _partition_side(
             hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
             val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
     with open(_side_sidecar(d, side), "w") as f:
-        json.dump({**_side_fingerprint(keys, factor, f_bits),
+        json.dump({**_side_fingerprint(keys, vals, factor, f_bits),
                    "counts": counts.tolist(),
                    "hk_checksums": hk_csums,
                    "val_checksums": val_csums}, f)
@@ -245,8 +311,8 @@ def grace_join(
             k, v, plan.factor, f_bits, chunk_rows, spill_dir, side)
         reused[side] = False
 
-    for side, (k, _) in sides.items():
-        fp = _side_fingerprint(k, plan.factor, f_bits)
+    for side, (k, v) in sides.items():
+        fp = _side_fingerprint(k, v, plan.factor, f_bits)
         hit = _try_resume_side(spill_dir, side, fp)
         if hit is not None:
             side_state[side] = hit
@@ -312,6 +378,17 @@ def grace_join(
     live = [p for p in range(F) if int(b_counts[p]) and int(p_counts[p])]
     metas = [PartitionMeta(p, int(b_counts[p]), int(p_counts[p]), 0)
              for p in range(F)]
+    # phase-2 resume: partitions already joined by a prior run over the
+    # same inputs/routing (per the journal) contribute their recorded
+    # counts and are skipped -- a crash mid-join redoes only the tail
+    done = _phase2_journal(spill_dir, sides, plan.factor, f_bits,
+                           on_partition)
+    resumed = 0
+    for p in [q for q in live if q in done]:
+        metas[p].join_tuples = done[p]
+        total += done[p]
+        resumed += 1
+    live = [p for p in live if p not in done]
     loaded: dict = {}
     for idx, p in enumerate(live):
         meta = metas[p]
@@ -340,10 +417,12 @@ def grace_join(
         jt = int(res.join_tuples)
         meta.join_tuples = jt
         total += jt
+        _journal_append(spill_dir, p, jt)
         if on_partition:
             raw_pk = (
                 np.asarray(res.probe_keys).astype(np.uint64) * inv
                 % (1 << 32)
             ).astype(np.uint32)
             on_partition(meta, res, raw_pk)
-    return GraceResult(total, metas, f_bits, reused_sides=dict(reused))
+    return GraceResult(total, metas, f_bits, reused_sides=dict(reused),
+                       resumed_partitions=resumed)

@@ -60,7 +60,9 @@ from ..engine.grace import (
     PartitionMeta,
     SpillCorrupt,
     _append_u32,
+    _journal_append,
     _on_tpu,
+    _phase2_journal,
     _side_fingerprint,
     _side_sidecar,
     _try_resume_side,
@@ -183,7 +185,7 @@ def _partition_side_dist(
     import json
 
     with open(_side_sidecar(d, side), "w") as f:
-        json.dump({**_side_fingerprint(keys, factor, f_bits),
+        json.dump({**_side_fingerprint(keys, vals, factor, f_bits),
                    "counts": counts.tolist(),
                    "hk_checksums": hk_csums,
                    "val_checksums": val_csums}, f)
@@ -276,8 +278,8 @@ def grace_join_dist(
             mesh, axis)
         reused[side] = False
 
-    for side, (k, _) in sides.items():
-        fp = _side_fingerprint(k, plan.factor, f_bits)
+    for side, (k, v) in sides.items():
+        fp = _side_fingerprint(k, v, plan.factor, f_bits)
         hit = _try_resume_side(spill_dir, side, fp)
         if hit is not None:
             side_state[side] = hit
@@ -359,11 +361,29 @@ def grace_join_dist(
             for c in cols
         )
 
-    live_rounds = [
-        r for r in range(Fl)
-        if any(int(b_counts[p]) and int(p_counts[p])
-               for p in round_parts(r))
-    ]
+    # phase-2 resume (journal shared with the single-chip driver): a
+    # round is skipped when EVERY worked pair in it is already recorded
+    # for these inputs/routing; partially-journaled rounds re-join whole
+    # (the batched step computes all n_dev pairs at once anyway)
+    done = _phase2_journal(spill_dir, sides, plan.factor, f_bits,
+                           on_partition)
+    resumed = 0
+
+    def worked(p):
+        return int(b_counts[p]) and int(p_counts[p])
+
+    live_rounds = []
+    for r in range(Fl):
+        parts = [p for p in round_parts(r) if worked(p)]
+        if not parts:
+            continue
+        if all(p in done for p in parts):
+            for p in parts:
+                metas[p].join_tuples = done[p]
+                total += done[p]
+                resumed += 1
+        else:
+            live_rounds.append(r)
     pending = None
     for idx, r in enumerate(live_rounds):
         parts = round_parts(r)
@@ -400,6 +420,8 @@ def grace_join_dist(
             jt = int(np.sum(mc[sl].astype(np.int64)))
             metas[p].join_tuples = jt
             total += jt
+            if worked(p):
+                _journal_append(spill_dir, p, jt)
             if on_partition and metas[p].build_rows and metas[p].probe_rows:
                 pk = np.asarray(res.probe_keys)[sl]
                 raw_pk = (
@@ -411,4 +433,5 @@ def grace_join_dist(
                     np.asarray(res.build_counts),
                 )
                 on_partition(metas[p], res_slice, raw_pk)
-    return GraceResult(total, metas, f_bits, reused_sides=dict(reused))
+    return GraceResult(total, metas, f_bits, reused_sides=dict(reused),
+                       resumed_partitions=resumed)

@@ -107,6 +107,67 @@ def test_grace_phase1_reuse(tmp_path, workload):
     assert r4.join_tuples == r1.join_tuples
 
 
+def test_grace_phase2_resume(tmp_path, workload):
+    """A crash during phase 2 resumes from the progress journal: only
+    unjournaled partitions re-join.  A row consumer disables resume
+    (every partition must flow through on_partition)."""
+    from hash_join_codes_knl_tpu.engine.grace import _journal_path
+
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "g6")
+    r1 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    n_live = sum(1 for m in r1.partitions if m.build_rows and m.probe_rows)
+    assert r1.resumed_partitions == 0
+    # full journal: a counts-only rerun joins nothing
+    r2 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    assert r2.resumed_partitions == n_live
+    assert r2.join_tuples == r1.join_tuples
+    # simulate a crash after the first partition: truncate the journal
+    # to header + one record (a torn third line must also be ignored)
+    lines = open(_journal_path(d)).read().splitlines()
+    with open(_journal_path(d), "w") as f:
+        f.write("\n".join(lines[:2]) + "\n" + lines[2][: len(lines[2]) // 2])
+    r3 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    assert r3.resumed_partitions == 1
+    assert r3.join_tuples == r1.join_tuples
+    # a row consumer must see EVERY live partition despite the journal
+    seen = []
+    r4 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d,
+                    on_partition=lambda m, res, pk: seen.append(m.index))
+    assert r4.resumed_partitions == 0
+    assert len(seen) == n_live
+    assert r4.join_tuples == r1.join_tuples
+
+
+def test_grace_changed_values_not_reused(tmp_path, workload):
+    """Same keys + NEW payload values: neither the phase-1 spill nor the
+    phase-2 journal may resume (stale value files would join wrong
+    payloads with the right cardinality -- checksums alone can't catch
+    it downstream because the counts still match)."""
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "g7")
+    r1 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
+    rows = []
+
+    def collect(meta, res, raw_pk):
+        mc = np.asarray(res.match_cnts)
+        m = mc == 1
+        rows.append((raw_pk[m], np.asarray(res.probe_vals)[m],
+                     np.asarray(res.match_vals)[m]))
+
+    iv2 = (iv ^ np.uint32(0x5A5A5A5A)).astype(np.uint32)
+    r2 = grace_join(ik, iv2, ok, ov, f_bits=2, chunk_rows=8000,
+                    spill_dir=d, on_partition=collect)
+    # build payloads changed -> build must re-partition; the untouched
+    # probe side reuses its spill (that IS still valid)
+    assert r2.reused_sides == {"build": False, "probe": True}
+    assert r2.resumed_partitions == 0  # journal fp changed with the side
+    assert r2.join_tuples == r1.join_tuples
+    want = join_oracle(ik, iv2, ok, ov)
+    got = multiset_digest(*(np.concatenate(c) for c in zip(*rows)))
+    assert got == multiset_digest(*want)
+
+
 def test_grace_corrupt_spill_recomputes(tmp_path, workload):
     """Silent on-disk corruption of a reused partition file is caught by
     the load-time checksum and recomputes that side's pass instead of
@@ -124,7 +185,15 @@ def test_grace_corrupt_spill_recomputes(tmp_path, workload):
     raw = bytearray(open(victim, "rb").read())
     raw[0] ^= 0xFF
     open(victim, "wb").write(bytes(raw))
+    # a counts-only rerun with a complete journal never reads the file:
+    # corruption is invisible AND harmless (counts come from the journal)
     r2 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d)
-    assert r2.reused_sides["probe"] is False  # recomputed after checksum
-    assert r2.reused_sides["build"] is True
+    assert r2.reused_sides == {"build": True, "probe": True}
     assert r2.join_tuples == r1.join_tuples
+    # a run that must READ the partitions (row consumer disables journal
+    # resume) hits the checksum and recomputes the probe side's pass
+    r3 = grace_join(ik, iv, ok, ov, f_bits=2, chunk_rows=8000, spill_dir=d,
+                    on_partition=lambda m, res, pk: None)
+    assert r3.reused_sides["probe"] is False  # recomputed after checksum
+    assert r3.reused_sides["build"] is True
+    assert r3.join_tuples == r1.join_tuples

@@ -80,6 +80,11 @@ def test_grace_dist_spill_interchange(tmp_path, workload):
                          chunk_rows=2000, spill_dir=d)
     assert r2.reused_sides == {"build": True, "probe": True}
     assert r2.join_tuples == r1.join_tuples
+    # the phase-2 journal is shared across drivers too: the single-chip
+    # run already joined every partition, so the distributed rerun
+    # resumes them all (counts-only run)
+    n_live = sum(1 for m in r1.partitions if m.build_rows and m.probe_rows)
+    assert r2.resumed_partitions == n_live
     # distributed rerun reuses its own spill too
     r3 = grace_join_dist(ik, iv, ok, ov, mesh, f_bits=4,
                          chunk_rows=2000, spill_dir=d)
