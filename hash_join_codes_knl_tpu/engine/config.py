@@ -95,22 +95,33 @@ def plan_join(inner_n: int, outer_n: int, tile: int | None = None,
         # beyond that belong to the streaming driver (engine/stream.py)
         # or the multi-chip exchange anyway
         if 64_000_000 <= outer_n <= 320_000_000:
-            # the batched-sort cost surface is erratic across jax
-            # releases: the plan-time tuner times a few candidates on
-            # the device once per geometry and caches the verdict
-            # (engine/tune.py; C=64 is the measured static fallback)
-            from .tune import tuned_probe_chunks
-
-            probe_chunks = tuned_probe_chunks(outer_n, default=64)
-            # window feasibility caps the chunk count: a tile's
+            # window feasibility caps the chunk count FIRST: a tile's
             # chunk-local span ~ tile*inner*C/outer must fit the
             # 128-chunk gather ceiling WITH margins (~12.5K usable
             # slots).  E.g. a 16M build against a 64M probe side (the
             # streaming driver's per-chunk geometry) supports C=16,
             # not 64 -- C=64 there would make every window overflow
             # unfixably and fall to pathologically wide dense sweeps.
+            from .tune import DEFAULT_CANDIDATES, tuned_probe_chunks
+
             t = tile if tile is not None else 3072
-            c_win = (12_500 * outer_n) // (t * max(inner_n, 1))
+            c_win = int((12_500 * outer_n) // (t * max(inner_n, 1)))
+            if c_win >= min(DEFAULT_CANDIDATES):
+                # the batched-sort cost surface is erratic across jax
+                # releases: the plan-time tuner times a few candidates
+                # on the device once per geometry and caches the verdict
+                # (engine/tune.py; C=64 is the measured static
+                # fallback).  Candidates the cap excludes are never
+                # timed (each costs a 1-4 min remote compile), and a cap
+                # below every candidate skips tuning entirely.
+                cands = tuple(
+                    C for C in DEFAULT_CANDIDATES if C <= c_win
+                )
+                probe_chunks = tuned_probe_chunks(
+                    outer_n, default=min(64, c_win), candidates=cands
+                )
+            else:
+                probe_chunks = c_win
             probe_chunks = int(max(0, min(probe_chunks, c_win)))
             if probe_chunks <= 1:
                 probe_chunks = 0

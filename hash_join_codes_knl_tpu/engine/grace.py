@@ -188,14 +188,16 @@ def _journal_append(d: str, p: int, jt: int) -> None:
         f.write(json.dumps({"p": int(p), "join_tuples": int(jt)}) + "\n")
 
 
-def _phase2_journal(d: str, sides: dict, factor, f_bits, on_partition):
-    """Open (or resume) the phase-2 journal for this run.  Returns the
-    completed {partition: join_tuples} map -- forced empty when a row
-    consumer is attached, because resuming would skip its on_partition
-    callbacks; the journal is still WRITTEN in that case so a later
-    counts-only rerun can resume from it."""
-    fp = {s: _side_fingerprint(k, v, factor, f_bits)
-          for s, (k, v) in sides.items()}
+def _phase2_journal(d: str, side_fps: dict, on_partition):
+    """Open (or resume) the phase-2 journal for this run.  `side_fps`
+    holds the per-side input fingerprints the caller already computed
+    for phase-1 resume (recomputing them here would re-read both
+    relations -- ~40 GB of memmap traffic at headline scale).  Returns
+    the completed {partition: join_tuples} map -- forced empty when a
+    row consumer is attached, because resuming would skip its
+    on_partition callbacks; the journal is still WRITTEN in that case
+    so a later counts-only rerun can resume from it."""
+    fp = dict(side_fps)
     done = _load_journal(d, fp)
     if done is None:
         _start_journal(d, fp)
@@ -311,8 +313,9 @@ def grace_join(
             k, v, plan.factor, f_bits, chunk_rows, spill_dir, side)
         reused[side] = False
 
+    side_fps = {}
     for side, (k, v) in sides.items():
-        fp = _side_fingerprint(k, v, plan.factor, f_bits)
+        fp = side_fps[side] = _side_fingerprint(k, v, plan.factor, f_bits)
         hit = _try_resume_side(spill_dir, side, fp)
         if hit is not None:
             side_state[side] = hit
@@ -381,8 +384,7 @@ def grace_join(
     # phase-2 resume: partitions already joined by a prior run over the
     # same inputs/routing (per the journal) contribute their recorded
     # counts and are skipped -- a crash mid-join redoes only the tail
-    done = _phase2_journal(spill_dir, sides, plan.factor, f_bits,
-                           on_partition)
+    done = _phase2_journal(spill_dir, side_fps, on_partition)
     resumed = 0
     for p in [q for q in live if q in done]:
         metas[p].join_tuples = done[p]
@@ -393,27 +395,27 @@ def grace_join(
     for idx, p in enumerate(live):
         meta = metas[p]
         bk, bv, pk, pv = loaded.pop(p, None) or load_pair(p)
-        # double buffering: the next pair's disk read + H2D is in
-        # flight while this pair's join computes on the chip
+        res = phj_join(bk, bv, pk, pv, local)  # async dispatch
+        # double buffering: issue the next pair's disk read + H2D only
+        # AFTER the join dispatch above -- the read is blocking host
+        # work, so issued first it would serialize with the chip instead
+        # of overlapping it
         if idx + 1 < len(live):
             loaded[live[idx + 1]] = load_pair(live[idx + 1])
-        res = None
-        for _ in range(window_retries + 1):
-            res = phj_join(bk, bv, pk, pv, local)
-            if not local.probe_impl.startswith("merge") or int(
-                res.build_counts[0]
-            ) == 0:
-                break
-            from .phj import replan_from_span
+        if local.probe_impl.startswith("merge"):
+            for _ in range(window_retries):
+                if int(res.build_counts[0]) == 0:
+                    break
+                from .phj import replan_from_span
 
-            span = int(res.build_counts[1])
-            res = None
-            local = replan_from_span(local, span)
-        if res is None or (
-            local.probe_impl.startswith("merge")
-            and int(res.build_counts[0]) != 0
-        ):
-            raise RuntimeError(f"partition {p}: window overflow persists")
+                span = int(res.build_counts[1])
+                res = None
+                local = replan_from_span(local, span)
+                res = phj_join(bk, bv, pk, pv, local)
+            if int(res.build_counts[0]) != 0:
+                raise RuntimeError(
+                    f"partition {p}: window overflow persists"
+                )
         jt = int(res.join_tuples)
         meta.join_tuples = jt
         total += jt

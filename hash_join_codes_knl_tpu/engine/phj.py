@@ -466,6 +466,26 @@ def _phj_join_padded_radix(inner_keys, inner_vals, outer_keys, outer_vals,
     return JoinResult(pk * inv, pv, mv, mc, counts_plus)
 
 
+def window_from_span(span: int) -> int:
+    """Padded window (slots, 128-aligned) for a MEASURED max span:
+    25% slack plus a 384-slot floor pad absorbs chunk-to-chunk span
+    jitter without a further retry.  Shared by every re-planner
+    (`replan_from_span`, the streaming join's window-only retry) so the
+    margin policy lives in exactly one place.  NOT clamped -- callers
+    compare against their own geometry cap and decide (shrink tile,
+    shrink chunks, or raise)."""
+    return -(-int(max(span, 128) * 1.25 + 384) // 128) * 128
+
+
+def replan_window_cap() -> int:
+    """Largest re-planned window (slots) any driver may compile: the
+    session-proven 118-chunk geometry (15104).  121 chunks sits exactly
+    at the measured scoped-vmem compile boundary (see _merge_params) --
+    one chunk past the cap either crashes the remote compile helper or
+    silently drops to the dense sweep."""
+    return (GATHER_MAX_CHUNKS - 3) * 128
+
+
 def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
     """Next plan after a merge-probe window overflow, sized from the
     MEASURED max required span (build_counts[1]) instead of blind
@@ -482,13 +502,10 @@ def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
     the cap (one chunk past it silently drops to the dense sweep,
     pathological at these widths).  Shared by the single-chip `join` and
     the distributed `cpra_join` re-planners."""
-    # re-planned windows target the session-proven 118-chunk geometry
-    # (15104); 121 chunks sits exactly at the measured scoped-vmem
-    # compile boundary (see _merge_params)
-    GATHER_CAP = (GATHER_MAX_CHUNKS - 3) * 128
+    GATHER_CAP = replan_window_cap()
     span = max(int(span), 128)
     C = max(1, plan.probe_chunks)
-    want = -(-int(span * 1.25 + 384) // 128) * 128
+    want = window_from_span(span)
     if C > 1 and want > GATHER_CAP:
         product = plan.tile * C
         # largest tile*C whose padded span stays strictly under the cap
@@ -496,16 +513,10 @@ def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
         tile_new = max(128, prod_fit // C // 128 * 128)
         if tile_new >= 512:
             span_est = span * tile_new * C / product
-            want = min(
-                GATHER_CAP,
-                -(-int(span_est * 1.25 + 384) // 128) * 128,
-            )
+            want = min(GATHER_CAP, window_from_span(span_est))
             return dataclasses.replace(plan, tile=tile_new, window=want)
         newC = max(1, int(C * (GATHER_CAP - 511) / (1.25 * span)))
-        want = min(
-            GATHER_CAP,
-            -(-int(span * 1.25 * newC / C + 384) // 128) * 128,
-        )
+        want = min(GATHER_CAP, window_from_span(span * newC / C))
         return dataclasses.replace(plan, probe_chunks=newC, window=want)
     return dataclasses.replace(plan, window=want)
 

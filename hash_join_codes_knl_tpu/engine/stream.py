@@ -41,7 +41,12 @@ import numpy as np
 
 
 from .config import JoinPlan, plan_join
-from .phj import _merge_params, _staged_fns
+from .phj import (
+    _merge_params,
+    _staged_fns,
+    replan_window_cap,
+    window_from_span,
+)
 from .spill import _read_u32, _write_u32
 
 
@@ -258,10 +263,22 @@ def stream_join(
             # a skewed chunk overflowed its window: re-plan THIS and all
             # later chunks from the MEASURED span (one recompile).
             # Window-only: tile/chunk geometry must stay fixed so the
-            # spill fingerprint and chunk row order remain valid.
+            # spill fingerprint and chunk row order remain valid -- so
+            # when even the padded span busts the gather cap we must
+            # RAISE (a wider window would compile the 121-chunk kernel
+            # that crashes the remote compile helper, or silently drop
+            # to the pathological dense sweep), not shrink the tile like
+            # replan_from_span does.
             span = int(res.build_counts[1])
-            window = max(window + 128,
-                         -(-int(span * 1.25 + 384) // 128) * 128)
+            window = max(window + 128, window_from_span(span))
+            if window > replan_window_cap():
+                raise RuntimeError(
+                    f"chunk {k}: measured span {span} needs a "
+                    f"{window}-slot window, past the {replan_window_cap()}"
+                    "-slot gather cap; the spill pins this geometry -- "
+                    "rerun with a smaller tile or chunk_rows (fresh "
+                    "spill_dir) so the span shrinks with the tile"
+                )
             plan = dataclasses.replace(plan, window=window)
             tile, window, rows_total, cap2 = _merge_params(
                 plan, ni, chunk_rows

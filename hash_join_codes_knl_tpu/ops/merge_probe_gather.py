@@ -51,7 +51,7 @@ from .merge_probe_pallas import (
 )
 
 
-def _gather_row_result_factory(w_chunks: int, row_skip: bool = True,
+def _gather_row_result_factory(w_chunks: int, row_skip: bool = False,
                                select: str = "flat"):
     def factory(kwin, vwin):
         bias = jnp.int32(_BIAS)
@@ -229,7 +229,7 @@ def merge_probe_gather(
     tile: int,
     window: int,  # slots, multiple of 128; at most 128 chunks (16384)
     interpret: bool = False,
-    row_skip: bool = True,
+    row_skip: bool = False,
     select: str = "flat",
 ):
     """Same contract as merge_probe_pallas, with two requirements on the
@@ -238,6 +238,10 @@ def merge_probe_gather(
     exact max-val on duplicate runs; engine/phj.py sorts the probe side
     with num_keys=1 -- probe order affects only window locality, not
     correctness).  Exact match counts for any M:N.
+
+    row_skip defaults False -- the measured production configuration
+    (the per-row lax.cond ablation loses 2.2x, see the one_chunk
+    comment); True only for HJK_GATHER_ROW_SKIP ablation runs.
 
     select: "flat" = one (W, 128) compare-reduce pair per row; "hier" =
     two-level boundary count (16-row coarse pass + one 8-wide lane

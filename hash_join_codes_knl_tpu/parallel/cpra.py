@@ -619,7 +619,17 @@ def cpra_join(
             # size the next window from the measured span, shared with
             # the single-chip re-planner
             plan = replan_from_span(plan, span)
+    # diagnose by the signal that actually persisted on the LAST attempt
+    # (the separated diag exists exactly so these aren't conflated)
+    if exch_ovf:
+        raise RuntimeError(
+            "exchange bucket overflow persists after re-planning: "
+            "enable skew=True (heavy-hitter replication) for this "
+            "workload"
+        )
     raise RuntimeError(
-        "exchange bucket overflow persists after re-planning: "
-        "enable skew=True (heavy-hitter replication) for this workload"
+        f"probe window overflow persists after re-planning (measured "
+        f"span {span} slots): the duplicate-run span exceeds what the "
+        "gather-cap geometry can absorb -- shrink plan.tile or "
+        "probe_chunks, or enable skew=True"
     )

@@ -17,10 +17,23 @@ replaced by BOTH the chunk-stream axis (out-of-core) and the mesh axis
    `all_to_all` over the flattened regions IS the owner exchange --
    device d receives exactly partitions [d*F/n, (d+1)*F/n) from every
    peer, no re-pack needed (the memcpy re-aggregation of
-   cpra2.cpp:1896-1904 as one collective, riding ICI).  Each host then
-   appends only ITS devices' owned fragments to partition files
-   (engine/spill.py raw-u32 format) -- on a pod, phase-2 reads are
-   host-local by construction and no partition ever crosses DCN twice.
+   cpra2.cpp:1896-1904 as one collective, riding ICI).  The received
+   fragments then append to partition files (engine/spill.py raw-u32
+   format), keyed by owner device so the layout is what a pod's
+   host-local spill would hold.
+
+SCOPE: single-controller (one process) meshes -- every device in one
+process, as on this box's 8-virtual-device test mesh or a single-host
+TPU slice.  The ON-DEVICE design (shard_map radix pass, tiled
+all_to_all exchange, partition-parallel joins) is pod-shaped, but the
+HOST side of this driver is not multi-process yet: it materializes
+globally-sharded pass outputs with np.asarray (raises on non-fully-
+addressable arrays under jax.distributed), writes one shared sidecar
+with global counts, and journals phase-2 progress in one file.  A pod
+port needs per-host fragment extraction (addressable_shards), psum'd
+count/checksum reduction into per-host sidecars, and per-host journals
+-- mechanical, but meaningless to write without multi-host hardware to
+run it (an explicit guard in grace_join_dist raises with this note).
 
 2. **Partition-parallel joins.**  Round r joins partition d*F/n + r on
    device d: per-partition columns load from the owner's files, pad to
@@ -248,6 +261,16 @@ def grace_join_dist(
         raise ValueError("grace_join_dist needs spill_dir")
     if chunk_rows <= 0:
         raise ValueError("chunk_rows must be positive")
+    if jax.process_count() > 1:
+        # the host side (np.asarray of sharded pass outputs, the shared
+        # sidecar/journal files) is single-controller; see the module
+        # docstring's SCOPE note for the pod-port checklist
+        raise NotImplementedError(
+            "grace_join_dist is single-controller: run with one process "
+            "(single-host slice or virtual CPU mesh); a multi-process "
+            "port needs per-host fragment extraction + per-host "
+            "sidecars/journals (module docstring, SCOPE)"
+        )
     os.makedirs(spill_dir, exist_ok=True)
     n_dev = mesh.shape[axis]
     dev_bits = _owner_bits(n_dev)
@@ -278,8 +301,9 @@ def grace_join_dist(
             mesh, axis)
         reused[side] = False
 
+    side_fps = {}
     for side, (k, v) in sides.items():
-        fp = _side_fingerprint(k, v, plan.factor, f_bits)
+        fp = side_fps[side] = _side_fingerprint(k, v, plan.factor, f_bits)
         hit = _try_resume_side(spill_dir, side, fp)
         if hit is not None:
             side_state[side] = hit
@@ -365,8 +389,7 @@ def grace_join_dist(
     # round is skipped when EVERY worked pair in it is already recorded
     # for these inputs/routing; partially-journaled rounds re-join whole
     # (the batched step computes all n_dev pairs at once anyway)
-    done = _phase2_journal(spill_dir, sides, plan.factor, f_bits,
-                           on_partition)
+    done = _phase2_journal(spill_dir, side_fps, on_partition)
     resumed = 0
 
     def worked(p):

@@ -90,12 +90,27 @@ def main():
         print(f"{name:24s} {seconds:8.4f}s  {outer_n/seconds/1e6:9.1f} M/s",
               flush=True)
 
+    # stage only what the selected rows touch: a 256M-row upload costs
+    # ~50 s through this box's tunnel, so --only reruns must not pay for
+    # relations their rows never read
+    need_full = [want(n) for n in
+                 ("phj_uniform", "aggregate", "npj_uniform_full", "zipf",
+                  "cpra")]
+    need_ik = want("phj_uniform") or want("npj_uniform_full") \
+        or want("zipf") or want("cpra")
+    need_ok = want("phj_uniform") or want("aggregate") \
+        or want("npj_uniform_full")
+
     # config 2 (headline): PHJ uniform
-    inner, outer, _ = generate(seed=42, inner_tuples=I, outer_tuples=O,
-                               mode="uniform" if O > I else "ref")
+    inner = outer = None
+    if any(need_full):
+        inner, outer, _ = generate(seed=42, inner_tuples=I, outer_tuples=O,
+                                   mode="uniform" if O > I else "ref")
     plan = plan_join(I, O)
-    ik, iv = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
-    ok, ov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
+    if need_ik:
+        ik, iv = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
+    if need_ok:
+        ok, ov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
 
     if want("phj_uniform"):
         def run_phj(rep):
@@ -154,7 +169,8 @@ def main():
 
     # free the uniform probe side before staging the zipf one: two
     # 256M-row probe sides plus join internals exceed one chip's HBM
-    del ok, ov
+    if need_ok:
+        del ok, ov
 
     # config 4: PHJ under Zipf outer skew.  Skewed probe tiles span wider
     # build windows than the uniform-derived auto window; join() re-plans
@@ -194,11 +210,14 @@ def main():
     # probe (home-bucket-ordered window sweep, engine/npj.py) is the
     # production engine; the while_loop chain walk is kept below as the
     # gather-bound ablation (the -D_NO_VECTOR analog) at reduced size.
-    inner_n, outer_n, _ = generate(seed=44, inner_tuples=npj_I,
-                                   outer_tuples=npj_O, mode="uniform")
-    nik, niv = jnp.asarray(inner_n.keys), jnp.asarray(inner_n.vals)
-    nok = jnp.asarray(outer_n.keys)
-    nov = jnp.asarray(outer_n.vals)
+    need_npj = (want("npj_uniform") or want("radix_4096")
+                or want("npj_chain"))
+    if need_npj:
+        inner_n, outer_n, _ = generate(seed=44, inner_tuples=npj_I,
+                                       outer_tuples=npj_O, mode="uniform")
+        nik, niv = jnp.asarray(inner_n.keys), jnp.asarray(inner_n.vals)
+        nok = jnp.asarray(outer_n.keys)
+        nov = jnp.asarray(outer_n.vals)
 
     if want("npj_uniform"):
         nplan = plan_npj(npj_I)
@@ -275,12 +294,15 @@ def main():
     if want("cpra"):
         # config 3: CPRA on the local mesh (free the NPJ device arrays
         # first -- the full-size exchange needs the HBM headroom)
-        del nik, niv, nok, nov
+        if need_npj:
+            del nik, niv, nok, nov
         n_dev = len(jax.devices())
         n_dev = 1 << (n_dev.bit_length() - 1)
         mesh = jax.make_mesh((n_dev,), ("x",))
 
-        cik, civ = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
+        # ik/iv are already on the device (need_ik covers cpra); the
+        # probe side was freed for the zipf rows, so re-stage only it
+        cik, civ = ik, iv
         cok, cov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
 
         def run_cpra(rep):

@@ -69,6 +69,7 @@ def main():
     from hash_join_codes_knl_tpu.relgen.generate import generate
 
     n_dev = len(jax.devices())
+    cores = os.cpu_count() or 1
     sizes = [m for m in (1, 2, 4, 8, 16, 32) if m <= n_dev]
     results = {}
     t1 = None
@@ -102,7 +103,12 @@ def main():
         if t1 is None:
             t1 = sec
         eff = t1 / sec
-        eff_corr = min(1.0, m * t1 / sec)
+        # virtual devices beyond the host's cores time-slice: perfect
+        # weak scaling there costs t1 * m/cores wall, not t1.  With
+        # m <= cores the devices run in parallel and NO correction
+        # applies (multiplying by m would saturate the clamp and hide
+        # every real overhead).
+        eff_corr = min(1.0, (m / min(m, cores)) * t1 / sec)
         results[str(m)] = {
             "devices": m,
             "outer_tuples": O,
@@ -115,14 +121,14 @@ def main():
         print(f"mesh={m:3d}  {sec:8.4f}s  {O/sec/1e6:8.2f} M rows/s  "
               f"eff={eff:.2%}  corrected={eff_corr:.2%}", flush=True)
 
-    cores = os.cpu_count() or 1
     if n_dev > cores:
         results["_note"] = (
             f"CPU-mesh weak scaling with {n_dev} virtual devices on "
             f"{cores} host core(s): m>{cores} devices time-slice, so raw "
             "efficiency is bounded by cores/m; serialization_corrected_"
-            "efficiency multiplies by m/cores to remove that bound. Figures "
-            "at heavy oversubscription are thrash-dominated, not the "
+            "efficiency multiplies by m/min(m, cores) to remove exactly "
+            "that bound (no correction while m <= cores). Figures at "
+            "heavy oversubscription are thrash-dominated, not the "
             "algorithm. Real-ICI validation needs hardware (NEXT.md #1).")
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -150,14 +150,18 @@ def _gather_case(bhk, bval, ohk, tile, window):
     wrow, stats = _merge_windows(jnp.asarray(bhk), ohk_j, tile, window, rows)
     assert int(stats[0]) == 0
     mv0, mc0 = merge_probe_jnp(ohk_j, bhk2, bval2, wrow, tile, window)
-    for select in ("flat", "hier"):
+    # both select engines at the production row_skip=False default, plus
+    # the row_skip=True ablation path (HJK_GATHER_ROW_SKIP) once
+    for select, row_skip in (("flat", False), ("hier", False),
+                             ("flat", True)):
         with pltpu.force_tpu_interpret_mode():
             mv1, mc1 = merge_probe_gather(ohk_j, bhk2, bval2, wrow, tile,
-                                          window, select=select)
+                                          window, select=select,
+                                          row_skip=row_skip)
         np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0),
-                                      err_msg=select)
+                                      err_msg=f"{select} skip={row_skip}")
         np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0),
-                                      err_msg=select)
+                                      err_msg=f"{select} skip={row_skip}")
     return np.asarray(mc1)
 
 

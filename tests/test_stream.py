@@ -43,6 +43,23 @@ def test_stream_join_matches_oracle(workload):
     assert got == multiset_digest(*want)
 
 
+def test_stream_span_past_gather_cap_raises():
+    """A duplicate run too wide for the fixed stream geometry must RAISE
+    with the measured span: window-only re-planning can't absorb it, and
+    widening past the 118-chunk ceiling would either compile the kernel
+    the remote helper crashes on or silently fall to the dense sweep."""
+    rng = np.random.default_rng(29)
+    heavy = np.uint32(12345)
+    uniq = np.unique(rng.integers(1, 2**32, 4200, dtype=np.uint32))
+    uniq = uniq[uniq != heavy][:3384]
+    ik = np.concatenate([np.full(13000, heavy, np.uint32), uniq])
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    ok = np.full(4096, heavy, np.uint32)
+    ov = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    with pytest.raises(RuntimeError, match="gather cap"):
+        stream_join(ik, iv, ok, ov, chunk_rows=4096)
+
+
 def test_stream_join_spill_resume(tmp_path, workload):
     ik, iv, ok, ov = workload
     d = str(tmp_path / "spill")
