@@ -62,6 +62,121 @@ def test_fuzz_join_vs_oracle(seed):
     assert got == multiset_digest(*want_rows)
 
 
+@pytest.mark.parametrize("seed", range(201, 206))
+def test_fuzz_radix_padded_vs_oracle(seed):
+    """The padded radix pipeline (multipass Pallas partition + dense
+    table probe) on random workloads and random pass splits -- the
+    parity-mode path the merge fuzz above never enters."""
+    from hash_join_codes_knl_tpu.engine.phj import phj_join
+
+    rng = np.random.default_rng(seed)
+    ik, iv, ok, ov, _ = _case(seed)
+    p_bits = int(rng.integers(2, 7))
+    if rng.random() < 0.5 or p_bits < 4:
+        passes = (p_bits,)
+    else:
+        lo = int(rng.integers(1, p_bits))
+        passes = (p_bits - lo, lo)
+    slots = 256
+    while slots * (1 << p_bits) < 4 * len(ik):  # generous occupancy
+        slots *= 2
+    plan = JoinPlan(p_bits=p_bits, slots=slots, tile=1024,
+                    pass_bits=passes, partition_impl="radix",
+                    probe_impl="jnp")  # compiled probe: tpu_smoke.py
+    res = phj_join(ik, iv, ok, ov, plan)
+    assert int(np.asarray(res.build_counts)[-1]) == 0, "pass overflow"
+    want_rows = join_oracle(ik, iv, ok, ov)
+    assert int(res.join_tuples) == len(want_rows[0])
+    mc = np.asarray(res.match_cnts)
+    if mc.max(initial=0) <= 1:
+        got = multiset_digest(*materialize(res))
+    else:
+        got = multiset_digest(*materialize_expanded(res, ik, iv))
+    assert got == multiset_digest(*want_rows)
+
+
+@pytest.mark.parametrize("seed", range(501, 509))
+def test_fuzz_npj_vs_oracle(seed):
+    """NPJ (global parked table + sorted window probe) across random
+    load factors, margins, and unique/duplicate builds."""
+    from hash_join_codes_knl_tpu.engine.npj import npj_join, plan_npj
+
+    rng = np.random.default_rng(seed)
+    ik, iv, ok, ov, _ = _case(seed)
+    plan = plan_npj(len(ik), load=float(rng.choice([0.25, 0.5, 0.9])))
+    mv, mc, plan = npj_join(ik, iv, ok, ov, plan)
+    want_rows = join_oracle(ik, iv, ok, ov)
+    mc = np.asarray(mc)
+    assert int(mc.astype(np.int64).sum()) == len(want_rows[0])
+    if mc.max(initial=0) <= 1:
+        m = mc == 1
+        got = multiset_digest(np.asarray(ok)[m], np.asarray(ov)[m],
+                              np.asarray(mv)[m])
+        assert got == multiset_digest(*want_rows)
+
+
+@pytest.mark.parametrize("seed", range(601, 606))
+def test_fuzz_stream_resume_vs_oracle(seed, tmp_path):
+    """Streaming join under random chunk sizes with a mid-run crash
+    (a random suffix of the per-chunk spills deleted) and a resumed
+    rerun: resumed + live counts and the materialized 1:1 multiset must
+    all match the oracle (M:N digest coverage lives in the targeted
+    stream tests)."""
+    import os
+
+    from hash_join_codes_knl_tpu.engine.stream import (
+        SpilledChunk,
+        replay_probe_columns,
+        stream_join,
+    )
+
+    rng = np.random.default_rng(seed)
+    ik, iv, ok, ov, _ = _case(seed)
+    d = str(tmp_path / "fz_stream")
+    chunk_rows = int(rng.integers(300, 6000))
+    first = stream_join(ik, iv, ok, ov, chunk_rows=chunk_rows,
+                        spill_dir=d)
+    want_rows = join_oracle(ik, iv, ok, ov)
+    assert first.join_tuples == len(want_rows[0])
+    # crash simulation: drop a random suffix of the per-chunk spills
+    n_chunks = len(first.chunks)
+    keep = int(rng.integers(0, n_chunks))
+    for k in range(keep, n_chunks):
+        for f in os.listdir(d):
+            if f.startswith(f"chunk_{k:06d}"):
+                os.remove(os.path.join(d, f))
+    rows = []
+
+    def collect(cm, payload):
+        k = cm.index
+        sl = slice(k * chunk_rows, min((k + 1) * chunk_rows, len(ok)))
+        if isinstance(payload, SpilledChunk):
+            pk, pv = replay_probe_columns(ok[sl], ov[sl], first.plan,
+                                          len(payload.match_vals))
+            mval, mcnt = payload.match_vals, payload.match_cnts
+        else:
+            pk = np.asarray(payload.probe_keys)
+            pv = np.asarray(payload.probe_vals)
+            mval = np.asarray(payload.match_vals)
+            mcnt = np.asarray(payload.match_cnts)
+        m = np.asarray(mcnt) == 1
+        rows.append((np.asarray(pk)[m], np.asarray(pv)[m],
+                     np.asarray(mval)[m]))
+
+    second = stream_join(ik, iv, ok, ov, chunk_rows=chunk_rows,
+                         spill_dir=d, plan=first.plan, on_chunk=collect)
+    assert second.join_tuples == first.join_tuples
+    assert second.resumed_chunks == keep
+    got = multiset_digest(*(np.concatenate(c) for c in zip(*rows)))
+    # oracle restricted to 1:1 rows (mcnt == 1 <=> build multiplicity 1)
+    wk, wv, wm = want_rows
+    uk, uc = np.unique(ik, return_counts=True)
+    mult = dict(zip(uk.tolist(), uc.tolist()))
+    keep_m = np.fromiter((mult.get(int(k), 0) == 1 for k in wk),
+                         count=len(wk), dtype=bool)
+    assert got == multiset_digest(wk[keep_m], wv[keep_m], wm[keep_m])
+
+
 @pytest.mark.parametrize("seed", range(301, 306))
 def test_fuzz_cpra_vs_oracle(seed):
     import jax
