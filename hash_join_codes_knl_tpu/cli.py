@@ -242,7 +242,15 @@ def main(argv=None):
             from .engine.npj import npj_build, npj_probe_sorted, plan_npj
 
             plan = plan_npj(len(ik))
-            tk, tv, _, max_disp = timer.run("build", npj_build, ik, iv, plan)
+            tk, tv, bovf, max_disp = timer.run("build", npj_build, ik, iv,
+                                               plan)
+            if int(bovf) > 0:
+                # overflow is a VALUE, never silent (engine convention):
+                # tuples parked past the table margin would vanish here
+                print(f"NPJ build overflow: {int(bovf)} tuples past the "
+                      "table margin; re-run via npj_join (auto re-plan)",
+                      file=sys.stderr)
+                return 1
             window = plan.window or plan.auto_window(len(ok))
             mv, mc, wovf = timer.run("probe", npj_probe_sorted, tk, tv, ok,
                                      plan, max_disp, window)
@@ -253,7 +261,8 @@ def main(argv=None):
             join_tuples = int(np.asarray(mc, dtype=np.int64).sum())
     elif args.algorithm == "phj":
         from .engine.config import plan_join
-        from .engine.phj import phj_join, phj_join_merge_staged
+        from .engine.phj import join as phj_engine_join
+        from .engine.phj import phj_join_merge_staged
 
         plan = plan_join(len(ik), len(ok))
         if args.config:
@@ -266,9 +275,27 @@ def main(argv=None):
             plan = dataclasses.replace(plan, **overrides)
         if args.timelog and plan.probe_impl.startswith("merge"):
             res = phj_join_merge_staged(ik, iv, ok, ov, plan, timer)
+            if int(np.asarray(res.build_counts)[0]) != 0:
+                # the staged path pins its geometry for phase metering,
+                # so overflow cannot be re-planned here -- report it
+                # (never silent) and point at the auto re-planner
+                print("PROBE WINDOW OVERFLOW: re-run without --timelog "
+                      "(auto re-plan) or widen window via --config",
+                      file=sys.stderr)
+                return 1
         else:
-            res = timer.run("partition+build+probe", phj_join,
-                            ik, iv, ok, ov, plan)
+            # the auto re-planner (engine.phj.join): merge-probe window
+            # overflow is measured and re-planned, never dropped
+            res, plan = timer.run("partition+build+probe", phj_engine_join,
+                                  ik, iv, ok, ov, plan)
+            if not plan.probe_impl.startswith("merge"):
+                bc = np.asarray(res.build_counts)
+                over = (int(bc[-1]) != 0 if plan.partition_impl == "radix"
+                        else bool((bc > plan.slots).any()))
+                if over:
+                    print("PARTITION OVERFLOW: raise slots via --config",
+                          file=sys.stderr)
+                    return 1
         join_tuples = int(res.join_tuples)
         if args.check:
             from .engine.validate import validate_join_result

@@ -96,6 +96,11 @@ def join_columns_u64(
     domain (folded keys + row-index payloads -- no wide-word kernels);
     candidate pairs from fold collisions are removed by one host-side
     u64 equality pass, so the output is the exact u64 join."""
+    if "__k64" in inner_cols or "__k64" in outer_cols:
+        # the dict-literal merge below is later-wins: a user column named
+        # __k64 would replace the injected verification keys and corrupt
+        # the exactness filter
+        raise ValueError("'__k64' is reserved by join_columns_u64")
     ik64 = np.ascontiguousarray(inner_keys, np.uint64)
     ok64 = np.ascontiguousarray(outer_keys, np.uint64)
     out_cols, plan = join_columns(

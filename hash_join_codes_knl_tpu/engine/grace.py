@@ -95,11 +95,7 @@ class SpillCorrupt(ValueError):
     """A partition file failed its sidecar checksum at load time."""
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:
-        return False
+from ..utils.host import on_tpu as _on_tpu  # shared platform probe
 
 
 def _append_u32(path: str, arr: np.ndarray) -> None:
@@ -107,8 +103,7 @@ def _append_u32(path: str, arr: np.ndarray) -> None:
         np.ascontiguousarray(arr, dtype="<u4").tofile(f)
 
 
-def _u64sum(arr: np.ndarray) -> int:
-    return int(np.sum(np.asarray(arr).astype(np.uint64), dtype=np.uint64))
+from ..utils.host import u64sum as _u64sum  # shared checksum
 
 
 def _side_sidecar(d: str, side: str) -> str:

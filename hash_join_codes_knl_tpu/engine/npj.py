@@ -49,11 +49,7 @@ from ..utils.hashing import range_hash
 from .config import DEFAULT_FACTOR
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:
-        return False
+from ..utils.host import on_tpu as _on_tpu  # shared platform probe
 
 
 @dataclasses.dataclass(frozen=True)
@@ -203,6 +199,10 @@ def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
     rows_total = size // 128
     tile = plan.tile
     cap = -(-n // tile) * tile
+    # an explicit window wider than the table would clip wrow NEGATIVE
+    # (out-of-bounds HBM DMA on TPU); whole-table coverage is the most a
+    # window can mean, so clamp statically (both values are trace-time)
+    window = min(window, rows_total * 128)
     w_chunks = window // 128
     h0 = range_hash(probe_keys, plan.factor, plan.buckets).astype(jnp.int32)
     # pads carry key 0 (inert in the kernel); park them at the last bucket

@@ -40,11 +40,7 @@ from ..utils.hashing import hashed_key, mod_inverse_u32
 from .config import JoinPlan, plan_join
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:
-        return False
+from ..utils.host import on_tpu as _on_tpu  # shared platform probe
 
 
 @jax.tree_util.register_pytree_node_class

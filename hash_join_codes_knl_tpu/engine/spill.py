@@ -21,6 +21,7 @@ import os
 import numpy as np
 
 from .. import native
+from ..utils.host import u64sum
 
 
 def _write_u32(path: str, arr: np.ndarray) -> None:
@@ -56,9 +57,7 @@ def spill_partitions(directory: str, stage: str, hk, vals, counts,
                 "n": int(hk.shape[0]),
                 "partitions": int(counts.shape[0]),
                 "counts": counts.tolist(),
-                "checksum": int(
-                    np.sum(hk.astype(np.uint64), dtype=np.uint64)
-                ),
+                "checksum": u64sum(hk),
                 **(meta or {}),
             },
             f,
@@ -76,7 +75,7 @@ def resume_partitions(directory: str, stage: str):
         meta = json.load(f)
     hk = _read_u32(os.path.join(directory, f"{stage}_hk.bin"), meta["n"])
     vals = _read_u32(os.path.join(directory, f"{stage}_val.bin"), meta["n"])
-    got = int(np.sum(hk.astype(np.uint64), dtype=np.uint64))
+    got = u64sum(hk)
     if got != meta["checksum"]:
         raise ValueError(
             f"spill {stage}: checksum mismatch ({got} != {meta['checksum']})"

@@ -83,8 +83,7 @@ class StreamResult:
         return sum(c.resumed for c in self.chunks)
 
 
-def _chunk_checksum(keys: np.ndarray) -> int:
-    return int(np.sum(keys.astype(np.uint64), dtype=np.uint64))
+from ..utils.host import u64sum as _chunk_checksum  # shared checksum
 
 
 def _sidecar_path(d: str, k: int) -> str:
@@ -111,20 +110,32 @@ def _plan_fingerprint(plan: JoinPlan, cap: int) -> dict:
             "probe_chunks": max(1, plan.probe_chunks), "cap": cap}
 
 
+def _build_fingerprint(inner_keys, inner_vals) -> dict:
+    """Identity of the BUILD side a chunk's results were computed
+    against.  Without it a resume with a changed build relation (same
+    probe, same spill_dir) would silently return the OLD build's
+    matches (engine/grace.py fingerprints both sides; so must this)."""
+    return {
+        "build_rows": int(len(inner_keys)),
+        "build_keys_checksum": _chunk_checksum(np.asarray(inner_keys)),
+        "build_vals_checksum": _chunk_checksum(np.asarray(inner_vals)),
+    }
+
+
 def _try_resume_chunk(d: str, k: int, input_checksum: int, rows: int,
-                      cap: int, plan: JoinPlan):
+                      cap: int, plan: JoinPlan, build_fp: dict):
     """Returns (sidecar meta, SpilledChunk) if chunk k's spill is
-    present, matches this input AND this plan's row-order fingerprint,
-    and passes the column checksums; else None.  A fingerprint mismatch
-    (e.g. a re-run with a different factor or probe_chunks) recomputes:
-    the spilled columns' chunk-sorted order came from the OLD plan and
-    would misalign on_chunk consumers that replay the layout."""
+    present, matches this input, this BUILD side, AND this plan's
+    row-order fingerprint, and passes the column checksums; else None.
+    A fingerprint mismatch (e.g. a re-run with a different factor,
+    probe_chunks, or build relation) recomputes: the spilled columns
+    came from the OLD configuration and would be silently wrong."""
     try:
         with open(_sidecar_path(d, k)) as f:
             meta = json.load(f)
         if meta["input_checksum"] != input_checksum or meta["rows"] != rows:
             return None
-        fp = _plan_fingerprint(plan, cap)
+        fp = dict(_plan_fingerprint(plan, cap), **build_fp)
         if {key: meta.get(key) for key in fp} != fp:
             return None
         mval = _read_u32(os.path.join(d, f"chunk_{k:06d}_mval.bin"), cap)
@@ -189,6 +200,8 @@ def stream_join(
         plan = plan_join(ni, min(no, chunk_rows))
     tile, window, rows_total, cap = _merge_params(plan, ni, chunk_rows)
     plan = dataclasses.replace(plan, window=window)
+    build_fp = (_build_fingerprint(inner_keys, inner_vals)
+                if spill_dir else {})
     if spill_dir:
         os.makedirs(spill_dir, exist_ok=True)
 
@@ -223,7 +236,8 @@ def stream_join(
             rows = len(ck_host)
             csum = _chunk_checksum(ck_host)
             resume = (
-                _try_resume_chunk(spill_dir, k, csum, rows, cap, plan)
+                _try_resume_chunk(spill_dir, k, csum, rows, cap, plan,
+                                  build_fp)
                 if spill_dir else None
             )
             status[k] = (rows, csum, resume)
@@ -305,7 +319,7 @@ def stream_join(
                 {"index": k, "rows": rows, "input_checksum": csum,
                  "join_tuples": jt, "window_overflow": ovf,
                  "window": window, "tile": tile,
-                 **_plan_fingerprint(plan, cap)},
+                 **_plan_fingerprint(plan, cap), **build_fp},
             )
         chunks.append(cm)
         total += jt

@@ -92,13 +92,23 @@ def tuned_probe_chunks(
     (HJK_TUNE=0 disables; off-device callers always get the default)."""
     if os.environ.get("HJK_TUNE", "1") == "0":
         return default
+    if len(candidates) == 0:
+        return default
+    if len(candidates) == 1:
+        return int(candidates[0])  # no choice to time
     try:
         import jax
 
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             return default
-        key = f"{outer_n}|{tile}|{jax.__version__}|{dev.device_kind}"
+        # the candidate set is part of the key: plan_join narrows
+        # candidates by its window-feasibility cap, and a verdict timed
+        # under a narrow cap must not be reused where more C values are
+        # admissible (it would lock in an untimed choice)
+        cset = ",".join(str(C) for C in candidates)
+        key = (f"{outer_n}|{tile}|{cset}|{jax.__version__}|"
+               f"{dev.device_kind}")
     except Exception:
         return default
     path = cache_path or _cache_path()

@@ -35,10 +35,12 @@ def expand_join(
     capacity from expected_join_tuples with headroom, or re-plan on the
     reported count).
     """
-    null = (build_keys == PAD_KEY).astype(jnp.uint32)
-    _, sk, sv = jax.lax.sort(
-        (null, build_keys, build_vals), num_keys=2, is_stable=True
-    )
+    # PAD_KEY == 0 sorts FIRST under a plain key sort, keeping `sk`
+    # globally ascending (a null-last sort would break searchsorted's
+    # precondition and silently drop rows for padded build sides).
+    # Pad rows are never matched: probe pads are zeroed via `cnt` below
+    # and probe keys are nonzero by the engine's null-key convention.
+    sk, sv = jax.lax.sort((build_keys, build_vals), num_keys=1, is_stable=True)
     lo = jnp.searchsorted(sk, probe_keys, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(sk, probe_keys, side="right").astype(jnp.int32)
     cnt = jnp.where(probe_keys != PAD_KEY, hi - lo, 0)

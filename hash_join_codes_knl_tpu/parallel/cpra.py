@@ -156,11 +156,12 @@ def make_cpra_step(
     tier hash is not a top-bits partition).
     Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, diag): inputs
     sharded along `axis`, result leaves chip-local (the aligned join output
-    never needs to be gathered).  diag is a replicated (3,) int32 vector
+    never needs to be gathered).  diag is a replicated (4,) int32 vector
     [exchange-cap overflow count, engine (window/table) overflow count,
-    max required probe-window span] -- the two overflow sources are
-    reported separately because their fixes differ (more exchange slack
-    vs a measured-span window re-plan).  With skew=True, `heavy` is the local-heavy
+    max required probe-window span, heavy-build-cap overflow count] --
+    the overflow sources are reported separately because their fixes
+    differ (more exchange slack vs a measured-span window re-plan vs a
+    larger heavy_build_cap).  With skew=True, `heavy` is the local-heavy
     row set (probe_vals, match_vals, match_cnts aligned to the local probe
     shard + its keys) produced by heavy-hitter replication (parallel/skew.py);
     otherwise it is None.
@@ -191,6 +192,7 @@ def make_cpra_step(
     def local_step(ik, iv, ok, ov):
         heavy = None
         overflow = jnp.zeros((), bool)
+        heavy_ovf = jnp.zeros((), bool)
         if skew:
             nom = skew_ops.nominate_heavy(
                 ok, heavy_sample, heavy_k_max, heavy_frac
@@ -208,7 +210,9 @@ def make_cpra_step(
             h_mcnt = jnp.where(o_heavy, h_mcnt, 0)
             h_mval = jnp.where(o_heavy, h_mval, jnp.uint32(0))
             heavy = (ok, ov, h_mval, h_mcnt)
-            overflow |= hb_cnt > heavy_build_cap
+            # its OWN diag entry: more exchange slack cannot fix a
+            # truncated heavy-build extraction -- only a larger cap can
+            heavy_ovf |= hb_cnt > heavy_build_cap
             ik = jnp.where(i_heavy, jnp.uint32(0), ik)
             ok = jnp.where(o_heavy, jnp.uint32(0), ok)
         # the re-aggregation memcpy (cpra2.cpp:1896-1904) as one collective
@@ -256,9 +260,10 @@ def make_cpra_step(
             rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
         res = phj_join(rik, riv, rok, rov, local_plan)
         # diag = [exchange-cap overflow count, engine overflow count,
-        # max required probe span]: the two overflow sources stay
-        # SEPARATE so the caller can re-plan each correctly (exchange ->
-        # more slack; window -> replan_from_span from the measured span)
+        # max required probe span, heavy-build-cap overflow count]: the
+        # overflow sources stay SEPARATE so the caller can re-plan each
+        # correctly (exchange -> more slack; window -> replan_from_span
+        # from the measured span; heavy -> a larger heavy_build_cap)
         diag = jnp.stack([
             jax.lax.psum(overflow.astype(jnp.int32), axis),
             jax.lax.psum(
@@ -267,6 +272,7 @@ def make_cpra_step(
             jax.lax.pmax(
                 _engine_span(res, local_plan).astype(jnp.int32), axis
             ),
+            jax.lax.psum(heavy_ovf.astype(jnp.int32), axis),
         ])
         return res, heavy, diag
 
@@ -379,8 +385,12 @@ def make_cpra_step_pipelined(
 
     n_chips = mesh.shape[axis]
     c_bits = _owner_bits(n_chips)
+    # probe_chunks=1: each pipeline chunk's probe side is GLOBALLY
+    # hash-ordered below (_merge_sort_side), so the chunk-local window
+    # widening _merge_params applies for probe_chunks>1 layouts would be
+    # pure waste here (a window sized for spans that cannot occur)
     local_plan = dataclasses.replace(
-        plan, skip_bits=plan.skip_bits + c_bits
+        plan, skip_bits=plan.skip_bits + c_bits, probe_chunks=1
     )
     chunk_cap = -(-outer_cap // chunks)
 
@@ -599,15 +609,23 @@ def cpra_join(
         step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis,
                               skew=skew, tier_ratio=tier_ratio, **skew_kw)
         res, heavy, diag = step(*args)
-        exch_ovf, eng_ovf, span = (int(diag[0]), int(diag[1]),
-                                   int(diag[2]))
-        if exch_ovf == 0 and eng_ovf == 0:
+        exch_ovf, eng_ovf, span, heavy_ovf = (
+            int(diag[0]), int(diag[1]), int(diag[2]), int(diag[3])
+        )
+        if exch_ovf == 0 and eng_ovf == 0 and heavy_ovf == 0:
             if skew:
                 return res, heavy, plan
             return res, plan
         res = None  # free the failed attempt's buffers before retrying
         if exch_ovf:
             slack *= 2.0
+        if heavy_ovf:
+            # a truncated heavy-build extraction: only a larger cap
+            # fixes it (slack/window knobs cannot)
+            skew_kw = dict(
+                skew_kw,
+                heavy_build_cap=4 * skew_kw.get("heavy_build_cap", 256),
+            )
         if eng_ovf:
             if not plan.probe_impl.startswith("merge"):
                 raise RuntimeError(
@@ -621,6 +639,12 @@ def cpra_join(
             plan = replan_from_span(plan, span)
     # diagnose by the signal that actually persisted on the LAST attempt
     # (the separated diag exists exactly so these aren't conflated)
+    if heavy_ovf:
+        raise RuntimeError(
+            "heavy-build extraction overflow persists after re-planning: "
+            "pass a larger heavy_build_cap (more replicated build rows "
+            "share heavy keys than the cap admits)"
+        )
     if exch_ovf:
         raise RuntimeError(
             "exchange bucket overflow persists after re-planning: "

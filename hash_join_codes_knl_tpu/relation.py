@@ -31,11 +31,9 @@ class Relation:
     @property
     def checksum(self) -> int:
         """uint64 wraparound sum of keys (write.cpp:1524-1537 semantics)."""
-        from . import native
+        from .utils.host import u64sum
 
-        if native.relio_available():
-            return native.checksum_u32(self.keys)
-        return int(np.sum(self.keys.astype(np.uint64), dtype=np.uint64))
+        return u64sum(self.keys)
 
 
 def _names(side: str, n: int) -> tuple[str, str]:

@@ -156,3 +156,16 @@ def test_join_columns_u64_fold_collisions_filtered():
     # (a, b) pairs are filtered by the exact u64 check
     assert sorted(out["iv"].tolist()) == [20, 20]
     assert sorted(out["ov"].tolist()) == [1, 4]
+
+
+def test_join_columns_u64_reserved_column_name_rejected():
+    """'__k64' is the injected verification column: a user column of the
+    same name would silently replace the exactness filter's keys."""
+    import pytest
+
+    ik = np.array([1, 2, 3], dtype=np.uint64)
+    ok = np.array([2, 3, 4], dtype=np.uint64)
+    with pytest.raises(ValueError, match="__k64"):
+        join_columns_u64(ik, {"__k64": np.arange(3)}, ok, {"w": np.arange(3)})
+    with pytest.raises(ValueError, match="__k64"):
+        join_columns_u64(ik, {"v": np.arange(3)}, ok, {"__k64": np.arange(3)})

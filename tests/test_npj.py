@@ -125,3 +125,33 @@ def test_npj_unique_mode_matches_default():
     mv1, mc1, _ = npj_join(ik, iv, ok, ok, plan_u)
     np.testing.assert_array_equal(np.asarray(mv0), np.asarray(mv1))
     np.testing.assert_array_equal(np.asarray(mc0), np.asarray(mc1))
+
+
+def test_npj_explicit_window_wider_than_table():
+    """An explicit window wider than the whole table must clamp to
+    whole-table coverage (unclamped it would compute NEGATIVE window
+    rows -- an out-of-bounds DMA on hardware) and still probe exactly."""
+    import dataclasses
+
+    from hash_join_codes_knl_tpu.engine.npj import npj_probe_sorted
+
+    rng = np.random.default_rng(81)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    iv = ik * np.uint32(5)
+    ok = np.concatenate(
+        [ik[rng.integers(0, 2048, 3000)],
+         rng.integers(1, 2**32, 1096, dtype=np.uint32)]
+    ).astype(np.uint32)
+    plan = plan_npj(2048)
+    tk, tv, bovf, max_disp = npj_build(jnp.asarray(ik), jnp.asarray(iv),
+                                       plan)
+    assert int(bovf) == 0
+    huge = int(tk.shape[0]) * 4  # far wider than the table
+    mv, mc, wovf = npj_probe_sorted(tk, tv, jnp.asarray(ok), plan,
+                                    max_disp, huge)
+    assert int(wovf) == 0
+    mv, mc = np.asarray(mv), np.asarray(mc)
+    m = mc == 1
+    got = multiset_digest(ok[m], ok[m], mv[m])
+    want = multiset_digest(*join_oracle(ik, iv, ok, ok))
+    assert got == want

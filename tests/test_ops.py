@@ -190,3 +190,32 @@ def test_aggregate_join_result_rejects_multimatch():
     res, _ = join(ik, iv, ok, ov)
     with pytest.raises(ValueError, match="multi-match"):
         aggregate_join_result(res)
+
+
+def test_expand_join_padded_sides():
+    """PAD_KEY (0) rows on EITHER side must stay inert.  The build-side
+    sort must leave keys globally ascending (nulls sort FIRST under a
+    plain key sort); a null-last order would break searchsorted's
+    precondition and silently drop matches for real keys."""
+    rng = np.random.default_rng(11)
+    ik = rng.integers(1, 40, 256, dtype=np.uint32)
+    iv = rng.integers(0, 2**32, 256, dtype=np.uint32)
+    ok = rng.integers(1, 60, 400, dtype=np.uint32)
+    ov = rng.integers(0, 2**32, 400, dtype=np.uint32)
+    # interleave pad rows mid-array on both sides
+    ikp = np.concatenate([ik[:100], np.zeros(64, np.uint32), ik[100:]])
+    ivp = np.concatenate([iv[:100], np.zeros(64, np.uint32), iv[100:]])
+    okp = np.concatenate([ok[:200], np.zeros(32, np.uint32), ok[200:]])
+    ovp = np.concatenate([ov[:200], np.zeros(32, np.uint32), ov[200:]])
+    want_rows = join_oracle(ik, iv, ok, ov)
+    cap = len(want_rows[0]) + 64
+    total, k, v, t = expand_join(
+        jnp.asarray(ikp), jnp.asarray(ivp), jnp.asarray(okp),
+        jnp.asarray(ovp), capacity=cap,
+    )
+    total = int(total)
+    assert total == len(want_rows[0])
+    got = multiset_digest(
+        np.asarray(k)[:total], np.asarray(v)[:total], np.asarray(t)[:total]
+    )
+    assert got == multiset_digest(*want_rows)

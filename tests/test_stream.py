@@ -210,3 +210,20 @@ def test_stream_join_window_replan_on_skewed_chunk():
     assert sres.plan.window >= 384
     want = join_oracle(ik, iv, ok, ov)
     assert sres.join_tuples == len(want[0])
+
+
+def test_stream_resume_rejects_changed_build_side(tmp_path, workload):
+    """Same probe, same spill dir, DIFFERENT build relation: the resume
+    must recompute every chunk (the spilled matches came from the old
+    build side and would be silently wrong), then resume again once the
+    new build side has its own spills."""
+    ik, iv, ok, ov = workload
+    d = str(tmp_path / "spill")
+    first = stream_join(ik, iv, ok, ov, chunk_rows=4096, spill_dir=d)
+    assert first.resumed_chunks == 0
+    iv2 = iv ^ np.uint32(0x5A5A5A5A)
+    second = stream_join(ik, iv2, ok, ov, chunk_rows=4096, spill_dir=d)
+    assert second.resumed_chunks == 0  # build fingerprint mismatch
+    assert second.join_tuples == first.join_tuples
+    third = stream_join(ik, iv2, ok, ov, chunk_rows=4096, spill_dir=d)
+    assert third.resumed_chunks == len(third.chunks) == 3
