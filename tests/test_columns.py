@@ -158,14 +158,150 @@ def test_join_columns_u64_fold_collisions_filtered():
     assert sorted(out["ov"].tolist()) == [1, 4]
 
 
-def test_join_columns_u64_reserved_column_name_rejected():
-    """'__k64' is the injected verification column: a user column of the
-    same name would silently replace the exactness filter's keys."""
-    import pytest
-
+def test_join_columns_u64_no_reserved_names():
+    """The u64 verification runs on row INDICES (no injected columns),
+    so any user column name -- including the once-reserved '__k64' --
+    passes through untouched."""
     ik = np.array([1, 2, 3], dtype=np.uint64)
     ok = np.array([2, 3, 4], dtype=np.uint64)
-    with pytest.raises(ValueError, match="__k64"):
-        join_columns_u64(ik, {"__k64": np.arange(3)}, ok, {"w": np.arange(3)})
-    with pytest.raises(ValueError, match="__k64"):
-        join_columns_u64(ik, {"v": np.arange(3)}, ok, {"__k64": np.arange(3)})
+    out, _ = join_columns_u64(
+        ik, {"__k64": np.array([10, 20, 30])},
+        ok, {"w": np.array([7, 8, 9])},
+    )
+    got = sorted(zip(out["__k64"].tolist(), out["w"].tolist()))
+    assert got == [(20, 7), (30, 8)]
+
+
+def _mode_oracle(ik, ok, how):
+    """(outer_idx, inner_idx) multiset for any join mode; inner_idx is
+    None on anti rows and on semi rows (outer columns only)."""
+    import collections
+
+    pairs = _oracle_rows(ik, ok)
+    matched = {o for (o, _) in pairs}
+    if how == "inner":
+        return pairs
+    if how == "semi":
+        return collections.Counter((o, None) for o in matched)
+    if how == "anti":
+        return collections.Counter(
+            (o, None) for o in range(len(ok)) if o not in matched
+        )
+    # left: inner pairs + one null row per unmatched outer row
+    left = collections.Counter(pairs)
+    for o in range(len(ok)):
+        if o not in matched:
+            left[(o, None)] += 1
+    return left
+
+
+def _mode_workload(seed=31):
+    rng = np.random.default_rng(seed)
+    ik = rng.integers(1, 300, 900, dtype=np.uint32)  # heavy duplication
+    ok = np.concatenate(
+        [ik[rng.integers(0, 900, 2000)],
+         rng.integers(1, 2**32, 700, dtype=np.uint32)]
+    ).astype(np.uint32)
+    inner_cols = {"iv": np.arange(900, dtype=np.int64) + 1}
+    outer_cols = {"ov": np.arange(len(ok), dtype=np.int64) + 1}
+    return ik, inner_cols, ok, outer_cols
+
+
+def _check_mode(out, ik, ok, inner_cols, outer_cols, how):
+    import collections
+
+    want = _mode_oracle(ik, ok, how)
+    got = collections.Counter()
+    if how in ("semi", "anti"):
+        assert set(out) == {"ov"}
+        for ov in out["ov"].tolist():
+            got[(ov - 1, None)] += 1
+    else:
+        for ov, iv in zip(out["ov"].tolist(), out["iv"].tolist()):
+            got[(ov - 1, iv - 1 if iv else None)] += 1
+    assert got == want, how
+
+
+def test_join_columns_modes():
+    """left/semi/anti against the host oracle on a duplicate-heavy M:N
+    workload (left_fill=0 marks null inner rows; iv column is 1-based
+    so 0 is unambiguous)."""
+    ik, inner_cols, ok, outer_cols = _mode_workload()
+    for how in ("inner", "left", "semi", "anti"):
+        out, _ = join_columns(ik, inner_cols, ok, outer_cols, how=how)
+        _check_mode(out, ik, ok, inner_cols, outer_cols, how)
+
+
+def test_join_columns_u64_modes_exact_under_fold_collisions():
+    """semi/anti on u64 keys must classify by TRUE key equality: a fold
+    collision (two different u64 keys, same folded u32) must not turn
+    an anti row into a semi row.  Collision pairs found by birthday
+    search over the real fold."""
+    rng = np.random.default_rng(41)
+    sample = rng.integers(1, 2**64, 400_000, dtype=np.uint64)
+    h = fold_key64(sample)
+    vals, counts = np.unique(h, return_counts=True)
+    dup_vals = vals[counts >= 2]
+    assert len(dup_vals) >= 4, "need fold collisions for this test"
+    a, b = [], []
+    for dv in dup_vals[:8]:
+        pair = np.unique(sample[h == dv])[:2]
+        if len(pair) == 2:
+            a.append(pair[0])
+            b.append(pair[1])
+    a, b = np.array(a, np.uint64), np.array(b, np.uint64)
+    # build side holds the a's; probe side holds their fold-colliding
+    # b twins (must all be ANTI) plus the a's themselves (all SEMI)
+    ik = a
+    ok = np.concatenate([b, a])
+    inner_cols = {"iv": np.arange(len(ik), dtype=np.int64) + 1}
+    outer_cols = {"ov": np.arange(len(ok), dtype=np.int64) + 1}
+    semi, _ = join_columns_u64(ik, inner_cols, ok, outer_cols, how="semi")
+    anti, _ = join_columns_u64(ik, inner_cols, ok, outer_cols, how="anti")
+    assert sorted(semi["ov"].tolist()) == list(
+        range(len(b) + 1, len(ok) + 1)
+    )
+    assert sorted(anti["ov"].tolist()) == list(range(1, len(b) + 1))
+
+
+def test_join_columns_multi_composite_keys():
+    """Composite (two-column) keys vs a host oracle built on the exact
+    tuples; all four modes.  Key tuples share many column values but
+    few full tuples, so a combine that ignored either column would
+    fail loudly."""
+    from hash_join_codes_knl_tpu.engine.columns import join_columns_multi
+
+    rng = np.random.default_rng(53)
+    ik1 = rng.integers(0, 40, 600, dtype=np.int32)
+    ik2 = rng.integers(-20, 20, 600, dtype=np.int64)  # signed column
+    sel = rng.integers(0, 600, 1500)
+    ok1 = ik1[sel].copy()
+    ok2 = ik2[sel].copy()
+    # displace a third of the probes in ONE column only: same ok1,
+    # different ok2 -> must not join
+    third = rng.random(1500) < 0.33
+    ok2[third] += 1000
+    # tuple-encode for the oracle
+    ik = (ik1.astype(np.int64) * 100000 + ik2).astype(np.uint64)
+    ok = (ok1.astype(np.int64) * 100000 + ok2).astype(np.uint64)
+    inner_cols = {"iv": np.arange(600, dtype=np.int64) + 1}
+    outer_cols = {"ov": np.arange(1500, dtype=np.int64) + 1}
+    for how in ("inner", "left", "semi", "anti"):
+        out, _ = join_columns_multi(
+            (ik1, ik2), inner_cols, (ok1, ok2), outer_cols, how=how
+        )
+        _check_mode(out, ik, ok, inner_cols, outer_cols, how)
+
+
+def test_join_columns_multi_rejects_mismatched_key_dtypes():
+    import pytest
+
+    from hash_join_codes_knl_tpu.engine.columns import join_columns_multi
+
+    ik1 = np.array([1, 2], dtype=np.int64)
+    ok1 = np.array([1, 2], dtype=np.uint64)
+    with pytest.raises(TypeError, match="dtype mismatch"):
+        join_columns_multi((ik1,), {"iv": ik1}, (ok1,), {"ov": ok1})
+    with pytest.raises(ValueError, match="count mismatch"):
+        join_columns_multi((ik1, ik1), {"iv": ik1},
+                           (ik1,), {"ov": ik1})
