@@ -104,6 +104,22 @@ def main():
         + outer_n * 16 / 700e9
     )
     pct_achievable = 100 * achievable_s / dt
+
+    # the r3 probe-row span invariant (PERF_NOTES "Why C >= 512 chunk
+    # sorts are NOT unlockable") proves the 0.65 s C=2048 sort anchor
+    # cannot be PROBED by any select+gather variant on this chip: 128
+    # consecutive chunk-sorted probes span ~128*C*ni/no build slots, so
+    # C is capped near the measured optimum C=64 (0.83 s, tuner-timed,
+    # .hjk_tune.json).  pct_achievable_floor therefore divides by a
+    # LOWER BOUND no engine configuration attains; pct_feasible_floor
+    # divides by the cheapest PROBE-ABLE configuration's floor -- the
+    # fraction of genuinely reachable performance this engine delivers.
+    feasible_s = (
+        outer_n * (0.83 / 256e6)
+        + inner_n * (0.16 / 16e6)
+        + outer_n * 16 / 700e9
+    )
+    pct_feasible = 100 * feasible_s / dt
     print(
         json.dumps(
             {
@@ -115,6 +131,7 @@ def main():
                 "join_tuples": got,
                 "pct_hbm_stream_floor": round(pct_floor, 2),
                 "pct_achievable_floor": round(pct_achievable, 1),
+                "pct_feasible_floor": round(pct_feasible, 1),
                 "plan": {"tile": plan.tile, "probe_chunks": plan.probe_chunks,
                          "p_bits": plan.p_bits},
             }
