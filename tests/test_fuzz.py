@@ -253,3 +253,75 @@ def test_fuzz_grace_dist_vs_oracle(seed, tmp_path):
                         for c in cols), np.zeros(2, np.int32))
     got = multiset_digest(*materialize_expanded(flat, ik, iv))
     assert got == multiset_digest(*want_rows)
+
+
+@pytest.mark.parametrize("seed", range(601, 609))
+def test_fuzz_column_join_modes_vs_oracle(seed):
+    """Random workloads through every columns-layer mode (inner/left/
+    semi/anti), u32 and composite keys, vs a host oracle on the exact
+    (outer_idx, inner_idx) pair multiset."""
+    import collections
+
+    from hash_join_codes_knl_tpu.engine.columns import (
+        join_columns,
+        join_columns_multi,
+    )
+
+    rng = np.random.default_rng(seed)
+    ni = int(rng.integers(1, 3000))
+    no = int(rng.integers(1, 8000))
+    dup = rng.random() < 0.5
+    span = int(rng.integers(ni // 2 + 1, 2**32)) if not dup else ni // 2 + 1
+    ik = rng.integers(1, span + 1, ni, dtype=np.uint32)
+    hits = ik[rng.integers(0, ni, no)]
+    misses = rng.integers(1, 2**32, no, dtype=np.uint32)
+    ok = np.where(rng.random(no) < rng.random(), hits, misses).astype(
+        np.uint32
+    )
+    inner_cols = {"iv": np.arange(ni, dtype=np.int64) + 1}
+    outer_cols = {"ov": np.arange(no, dtype=np.int64) + 1}
+
+    by_key = collections.defaultdict(list)
+    for i, k in enumerate(ik.tolist()):
+        by_key[k].append(i)
+    pairs = collections.Counter()
+    matched = set()
+    for o, k in enumerate(ok.tolist()):
+        for i in by_key.get(k, ()):
+            pairs[(o, i)] += 1
+            matched.add(o)
+
+    def check(out, how):
+        got = collections.Counter()
+        if how in ("semi", "anti"):
+            for ov in out["ov"].tolist():
+                got[ov - 1] += 1
+            if how == "semi":
+                want = collections.Counter(matched)
+            else:
+                want = collections.Counter(
+                    o for o in range(no) if o not in matched
+                )
+        else:
+            for ov, iv in zip(out["ov"].tolist(), out["iv"].tolist()):
+                got[(ov - 1, iv - 1 if iv else None)] += 1
+            want = collections.Counter(pairs)
+            if how == "left":
+                for o in range(no):
+                    if o not in matched:
+                        want[(o, None)] += 1
+        assert got == want, (how, seed)
+
+    for how in ("inner", "left", "semi", "anti"):
+        out, _ = join_columns(ik, inner_cols, ok, outer_cols, how=how)
+        check(out, how)
+    # composite: split each u32 key into two int32 halves (hi 16 / lo 16
+    # bits) -- the exact same join relation, via the multi-key path
+    ik_hi = (ik >> 16).astype(np.int32)
+    ik_lo = (ik & 0xFFFF).astype(np.int32)
+    ok_hi = (ok >> 16).astype(np.int32)
+    ok_lo = (ok & 0xFFFF).astype(np.int32)
+    how = ("inner", "left", "semi", "anti")[seed % 4]
+    out, _ = join_columns_multi((ik_hi, ik_lo), inner_cols,
+                                (ok_hi, ok_lo), outer_cols, how=how)
+    check(out, how)
