@@ -48,30 +48,38 @@ def fold_key64(k64: np.ndarray) -> np.ndarray:
 _HOWS = ("inner", "left", "semi", "anti")
 
 
-def _index_pairs(inner_keys, outer_keys, plan, need_pairs: bool = True):
+def _index_pairs(inner_keys, outer_keys, plan, need_pairs: bool = True,
+                 need_sets: bool = False):
     """Run the engine with ROW-INDEX payloads; returns
     (out_o, out_i, semi_o, anti_o, plan): matched (outer idx, inner idx)
-    pairs (exact M:N) plus the outer row indices WITH >= 1 match and
-    with NO match.  semi/anti rows come straight from the aligned
-    layout (cnt on a live row); with need_pairs=False the M:N expansion
-    is skipped entirely and out_o/out_i are None."""
+    pairs (exact M:N) plus -- only when need_sets -- the outer row
+    indices WITH >= 1 match and with NO match.  semi/anti rows come
+    straight from the aligned layout (cnt on a live row); inner-mode
+    callers skip those cap-sized masks/gathers entirely (need_sets=
+    False -> semi_o/anti_o are None).  With need_pairs=False the M:N
+    expansion is skipped and out_o/out_i are None."""
     ni = len(inner_keys)
     no = len(outer_keys)
     i_idx = np.arange(ni, dtype=np.uint32)
     o_idx = np.arange(no, dtype=np.uint32)
     res, plan = join(inner_keys, i_idx, outer_keys, o_idx, plan)
     mc = np.asarray(res.match_cnts).reshape(-1)
-    # pads carry probe key 0 (the reserved null key, never a real key)
-    # AND probe_vals 0 -- a legitimate row index -- so liveness must be
-    # read off the recovered keys, not the payloads
-    live = np.asarray(res.probe_keys).reshape(-1) != 0
-    pv = np.asarray(res.probe_vals).reshape(-1)
-    semi_o = pv[live & (mc > 0)]
-    anti_o = pv[live & (mc == 0)]
+    semi_o = anti_o = None
+    pv = None
+    if need_sets:
+        # pads carry probe key 0 (the reserved null key, never a real
+        # key) AND probe_vals 0 -- a legitimate row index -- so liveness
+        # must be read off the recovered keys, not the payloads
+        live = np.asarray(res.probe_keys).reshape(-1) != 0
+        pv = np.asarray(res.probe_vals).reshape(-1)
+        semi_o = pv[live & (mc > 0)]
+        anti_o = pv[live & (mc == 0)]
     if not need_pairs:
         return None, None, semi_o, anti_o, plan
     if mc.max(initial=0) <= 1:
         m = mc == 1
+        if pv is None:
+            pv = np.asarray(res.probe_vals).reshape(-1)
         out_o = pv[m]  # outer row idx
         out_i = np.asarray(res.match_vals).reshape(-1)[m]  # inner row idx
     else:
@@ -144,8 +152,20 @@ def join_columns(
     """
     if how not in _HOWS:
         raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
+    # key 0 is the engine's reserved null slot: a real key-0 row would
+    # be treated as padding -- invisible to matching AND silently absent
+    # from left/anti output.  The fold+verify path remaps 0 off the
+    # null slot and filters candidates exactly, so route such inputs
+    # through it (one cheap host pass decides; the common 0-free case
+    # pays nothing else).
+    if (np.asarray(outer_keys) == 0).any() or \
+            (np.asarray(inner_keys) == 0).any():
+        return join_columns_u64(inner_keys, inner_cols, outer_keys,
+                                outer_cols, plan, how, left_fill)
     out_o, out_i, semi_o, anti_o, plan = _index_pairs(
-        inner_keys, outer_keys, plan, need_pairs=how in ("inner", "left")
+        inner_keys, outer_keys, plan,
+        need_pairs=how in ("inner", "left"),
+        need_sets=how != "inner",
     )
     return (
         _materialize_cols(inner_cols, outer_cols, out_o, out_i, semi_o,

@@ -232,6 +232,22 @@ def test_join_columns_modes():
         _check_mode(out, ik, ok, inner_cols, outer_cols, how)
 
 
+def test_join_columns_key_zero_rows_survive():
+    """Key 0 is the ENGINE's reserved null; the columns layer must not
+    let that leak into its row contract: a real key-0 outer row shows
+    up in left/anti output and matches a key-0 build row (regression:
+    such rows were silently dropped as engine padding).  join_columns
+    detects key 0 and routes through the fold+verify path, which remaps
+    0 off the null slot."""
+    ik = np.array([0, 5, 9], np.uint32)
+    inner_cols = {"iv": np.arange(3, dtype=np.int64) + 1}
+    ok = np.array([0, 5, 7, 0], np.uint32)
+    outer_cols = {"ov": np.arange(4, dtype=np.int64) + 1}
+    for how in ("inner", "left", "semi", "anti"):
+        out, _ = join_columns(ik, inner_cols, ok, outer_cols, how=how)
+        _check_mode(out, ik, ok, inner_cols, outer_cols, how)
+
+
 def test_join_columns_u64_modes_exact_under_fold_collisions():
     """semi/anti on u64 keys must classify by TRUE key equality: a fold
     collision (two different u64 keys, same folded u32) must not turn

@@ -259,8 +259,10 @@ def test_fuzz_grace_dist_vs_oracle(seed, tmp_path):
 def test_fuzz_column_join_modes_vs_oracle(seed):
     """Random workloads through every columns-layer mode (inner/left/
     semi/anti), u32 and composite keys, vs a host oracle on the exact
-    (outer_idx, inner_idx) pair multiset."""
-    import collections
+    (outer_idx, inner_idx) pair multiset.  The oracle/checker are the
+    SAME helpers test_columns.py uses (one mode-semantics source, no
+    drift between the targeted tests and the fuzz draws)."""
+    from test_columns import _check_mode
 
     from hash_join_codes_knl_tpu.engine.columns import (
         join_columns,
@@ -281,36 +283,8 @@ def test_fuzz_column_join_modes_vs_oracle(seed):
     inner_cols = {"iv": np.arange(ni, dtype=np.int64) + 1}
     outer_cols = {"ov": np.arange(no, dtype=np.int64) + 1}
 
-    by_key = collections.defaultdict(list)
-    for i, k in enumerate(ik.tolist()):
-        by_key[k].append(i)
-    pairs = collections.Counter()
-    matched = set()
-    for o, k in enumerate(ok.tolist()):
-        for i in by_key.get(k, ()):
-            pairs[(o, i)] += 1
-            matched.add(o)
-
     def check(out, how):
-        got = collections.Counter()
-        if how in ("semi", "anti"):
-            for ov in out["ov"].tolist():
-                got[ov - 1] += 1
-            if how == "semi":
-                want = collections.Counter(matched)
-            else:
-                want = collections.Counter(
-                    o for o in range(no) if o not in matched
-                )
-        else:
-            for ov, iv in zip(out["ov"].tolist(), out["iv"].tolist()):
-                got[(ov - 1, iv - 1 if iv else None)] += 1
-            want = collections.Counter(pairs)
-            if how == "left":
-                for o in range(no):
-                    if o not in matched:
-                        want[(o, None)] += 1
-        assert got == want, (how, seed)
+        _check_mode(out, ik, ok, inner_cols, outer_cols, how)
 
     for how in ("inner", "left", "semi", "anti"):
         out, _ = join_columns(ik, inner_cols, ok, outer_cols, how=how)
