@@ -93,6 +93,46 @@ def main():
         res, _ = join(ik, iv, ok, ov, plan)
         check(label, multiset_digest(*materialize(res)), want)
 
+    # 1b: BOTH gather-select engines (flat reduce vs two-level "hier"
+    # boundary count) at a production-width window, directly against the
+    # jnp oracle.  join() picks one engine per run (HJK_GATHER_SELECT);
+    # the hier path's Mosaic lowering (sublane iota + an 8-wide lane
+    # gather refinement) is exactly the hardware-only surface this
+    # battery exists for.
+    from hash_join_codes_knl_tpu.engine.phj import _merge_windows
+    from hash_join_codes_knl_tpu.ops.merge_probe_gather import (
+        merge_probe_gather,
+    )
+    from hash_join_codes_knl_tpu.ops.merge_probe_pallas import (
+        merge_probe_jnp,
+    )
+    from hash_join_codes_knl_tpu.utils.hashing import hashed_key as _hk
+
+    FACTORG = 0x9E3779B1
+    g_rows = 130
+    bhk_g = np.asarray(
+        jnp.sort(_hk(jnp.asarray(ik[: g_rows * 128]), FACTORG)))
+    bval_g = iv[: g_rows * 128]
+    order_g = np.lexsort((bval_g, bhk_g))
+    bhk_g, bval_g = bhk_g[order_g], bval_g[order_g]
+    ohk_g = np.sort(np.asarray(_hk(jnp.asarray(
+        ik[rng.integers(0, g_rows * 128, 64 * 1024)]), FACTORG)))
+    wrow_g, stats_g = _merge_windows(
+        jnp.asarray(bhk_g), jnp.asarray(ohk_g), 1024, 118 * 128, g_rows)
+    assert int(stats_g[0]) == 0, "gather-select smoke window overflow"
+    mv_o, mc_o = merge_probe_jnp(
+        jnp.asarray(ohk_g), jnp.asarray(bhk_g).reshape(g_rows, 128),
+        jnp.asarray(bval_g).reshape(g_rows, 128), wrow_g, 1024, 118 * 128)
+    for sel in ("flat", "hier"):
+        mv_g, mc_g = merge_probe_gather(
+            jnp.asarray(ohk_g), jnp.asarray(bhk_g).reshape(g_rows, 128),
+            jnp.asarray(bval_g).reshape(g_rows, 128), wrow_g,
+            1024, 118 * 128, select=sel)
+        assert np.array_equal(np.asarray(mc_g), np.asarray(mc_o)), sel
+        assert np.array_equal(np.asarray(mv_g), np.asarray(mv_o)), sel
+        checks += 1
+        print(f"ok: gather select={sel} @118 chunks", file=sys.stderr)
+
     # 3: NPJ sorted vs chain (chain at reduced probe count: gather-bound)
     from hash_join_codes_knl_tpu.engine.npj import npj_join, plan_npj
 
