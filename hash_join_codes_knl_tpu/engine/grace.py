@@ -200,9 +200,122 @@ def _phase2_journal(d: str, side_fps: dict, on_partition):
     return {} if on_partition else done
 
 
+def _init_partition_files(d: str, side: str, F: int) -> None:
+    """Truncate every partition file and drop any half-written sidecar
+    from a crashed run (it must not resume)."""
+    try:
+        os.remove(_side_sidecar(d, side))
+    except OSError:
+        pass
+    for p in range(F):
+        for col in ("hk", "val"):
+            open(os.path.join(d, f"{side}_{p}_{col}.bin"), "wb").close()
+
+
+def _write_side_sidecar(d, side, fp, counts, hk_csums, val_csums) -> None:
+    with open(_side_sidecar(d, side), "w") as f:
+        json.dump({**fp, "counts": counts.tolist(),
+                   "hk_checksums": hk_csums,
+                   "val_checksums": val_csums}, f)
+
+
+def _phase1(sides, spill_dir, factor, f_bits, partition_side):
+    """Resume-or-compute both sides' phase-1 spills (shared by the
+    single-chip and mesh drivers).  partition_side(keys, vals, side, fp)
+    runs one side's pass.  Returns (side_state, reused, side_fps,
+    compute_side); compute_side is reusable for corrupt-spill recovery."""
+    side_state, reused, side_fps = {}, {}, {}
+
+    def compute_side(side):
+        k, v = sides[side]
+        side_state[side] = partition_side(k, v, side, side_fps[side])
+        reused[side] = False
+
+    for side, (k, v) in sides.items():
+        fp = side_fps[side] = _side_fingerprint(k, v, factor, f_bits)
+        hit = _try_resume_side(spill_dir, side, fp)
+        if hit is not None:
+            side_state[side] = hit
+            reused[side] = True
+        else:
+            compute_side(side)
+    return side_state, reused, side_fps, compute_side
+
+
+def _budget_caps_local(b_counts, p_counts, budget: int, f_bits: int,
+                       plan: JoinPlan):
+    """Enforce the per-partition budget, then derive the ONE static
+    (build, probe) cap pair all partitions pad to (per-partition shapes
+    would recompile F times, minutes each on a remote-compile backend)
+    and the per-partition local plan: keys arrive pre-scrambled, so
+    factor=1 makes hashed_key the identity and the local engine skips
+    the f_bits the routing consumed."""
+    if int(b_counts.max(initial=0)) > budget or int(
+        p_counts.max(initial=0)
+    ) > budget:
+        raise RuntimeError(
+            f"a partition exceeds the per-partition budget "
+            f"({int(max(b_counts.max(), p_counts.max()))} rows > "
+            f"{budget}): re-run with f_bits={f_bits + 2} "
+            "(one more level of the same pass handles any skew)"
+        )
+    nb_cap = -(-max(int(b_counts.max(initial=0)), 128) // 128) * 128
+    np_cap = -(-max(int(p_counts.max(initial=0)), 128) // 128) * 128
+    local = dataclasses.replace(
+        plan_join(nb_cap, np_cap), factor=1,
+        skip_bits=plan.skip_bits + f_bits,
+    )
+    return nb_cap, np_cap, local
+
+
+def _make_loader(spill_dir, side_state, reused, compute_side):
+    """load_side(side, p, n_rows, cap) -> zero-padded, checksum-verified
+    (hk, val) numpy columns.  A REUSED file that fails its checksum
+    recomputes that side's pass ONCE -- same inputs and routing, so the
+    counts (and thus every cap) are reproduced exactly."""
+
+    def load_column(side, p, n, cap, col):
+        path = os.path.join(spill_dir, f"{side}_{p}_{col}.bin")
+        a = _read_u32(path, n)
+        csums = side_state[side][1 if col == "hk" else 2]
+        if _u64sum(a) != csums[p]:
+            raise SpillCorrupt(f"{path}: checksum mismatch")
+        return np.concatenate([a, np.zeros(cap - n, np.uint32)])
+
+    def load_side(side, p, n, cap):
+        if n == 0:
+            z = np.zeros(cap, np.uint32)
+            return z, z
+        for attempt in (0, 1):
+            try:
+                return (load_column(side, p, n, cap, "hk"),
+                        load_column(side, p, n, cap, "val"))
+            except SpillCorrupt:
+                if attempt or not reused[side]:
+                    raise
+                old_counts = side_state[side][0]
+                compute_side(side)
+                assert np.array_equal(side_state[side][0], old_counts)
+
+    return load_side
+
+
+def _exact_join_tuples(res) -> int:
+    """Exact output count WITHOUT a cap-sized D2H transfer: the engine's
+    u32 wraparound sum (JoinResult.join_tuples) plus a float32 device
+    total recover the high bits -- the float sum's error (~eps * log2(n)
+    * total) stays orders of magnitude below 2^31, so rounding the
+    difference to the nearest 2^32 multiple is exact.  Overflow-as-value
+    discipline: a partition with > 2^32 output rows must not record a
+    silently wrapped count."""
+    s32 = int(res.join_tuples)
+    sf = float(jnp.sum(res.match_cnts.astype(jnp.float32)))
+    return s32 + (int(round((sf - s32) / 2.0**32)) << 32)
+
+
 def _partition_side(
     keys, vals, factor: int, f_bits: int, chunk_rows: int, d: str,
-    side: str, cap_retries: int = 3,
+    side: str, fp: dict | None = None, cap_retries: int = 3,
 ):
     """Stream one relation through the chip's radix pass; append the
     compacted fragments to per-partition files `{side}_{p}_{hk,val}.bin`.
@@ -210,25 +323,31 @@ def _partition_side(
     The pass emits zero-interleaved regions (run tails pad with the null
     key); compaction is a host-side nonzero mask, the analog of the
     reference's exact fragment counts.  A sidecar records the input
-    fingerprint + per-partition counts/checksums for reuse."""
+    fingerprint + per-partition counts/checksums for reuse; `fp` is the
+    caller's precomputed fingerprint (recomputing it here would re-read
+    the whole relation -- ~GBs of memmap traffic at scale)."""
     F = 1 << f_bits
     n = len(keys)
     counts = np.zeros(F, np.int64)
     hk_csums = [0] * F
     val_csums = [0] * F
     interp = not _on_tpu()
-    try:  # a half-written sidecar from a crashed run must not resume
-        os.remove(_side_sidecar(d, side))
-    except OSError:
-        pass
-    for p in range(F):
-        for col in ("hk", "val"):
-            open(os.path.join(d, f"{side}_{p}_{col}.bin"), "wb").close()
+    if fp is None:
+        fp = _side_fingerprint(keys, vals, factor, f_bits)
+    _init_partition_files(d, side, F)
+    # ONE static chunk shape: the tail chunk zero-pads to the full
+    # chunk size (null-key pads are dropped by the pass) instead of
+    # retracing the shape-specialized radix pass for a new tail shape
+    # -- minutes of remote compile per side
+    eff = min(chunk_rows, n)
     pos = 0
     while pos < n:
-        ck = np.asarray(keys[pos : pos + chunk_rows])
-        cv = np.asarray(vals[pos : pos + chunk_rows])
-        pos += len(ck)
+        take = min(eff, n - pos)
+        ck = np.zeros(eff, np.uint32)
+        cv = np.zeros(eff, np.uint32)
+        ck[:take] = np.asarray(keys[pos : pos + take])
+        cv[:take] = np.asarray(vals[pos : pos + take])
+        pos += take
         hk = hashed_key(jnp.asarray(ck), factor)
         cap = 0  # pass's own estimate first
         for attempt in range(cap_retries + 1):
@@ -256,11 +375,7 @@ def _partition_side(
             counts[p] += int(cnts[p])
             hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
             val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
-    with open(_side_sidecar(d, side), "w") as f:
-        json.dump({**_side_fingerprint(keys, vals, factor, f_bits),
-                   "counts": counts.tolist(),
-                   "hk_checksums": hk_csums,
-                   "val_checksums": val_csums}, f)
+    _write_side_sidecar(d, side, fp, counts, hk_csums, val_csums)
     return counts, hk_csums, val_csums
 
 
@@ -288,6 +403,8 @@ def grace_join(
     """
     if spill_dir is None:
         raise ValueError("grace_join needs spill_dir for partition files")
+    if chunk_rows <= 0:
+        raise ValueError("chunk_rows must be positive")
     os.makedirs(spill_dir, exist_ok=True)
     if plan is None:
         # per-partition planning happens per pair below; this fixes the
@@ -299,79 +416,24 @@ def grace_join(
     F = 1 << f_bits
     sides = {"build": (inner_keys, inner_vals),
              "probe": (outer_keys, outer_vals)}
-    side_state = {}  # side -> (counts, hk_csums, val_csums)
-    reused = {}
-
-    def compute_side(side):
-        k, v = sides[side]
-        side_state[side] = _partition_side(
-            k, v, plan.factor, f_bits, chunk_rows, spill_dir, side)
-        reused[side] = False
-
-    side_fps = {}
-    for side, (k, v) in sides.items():
-        fp = side_fps[side] = _side_fingerprint(k, v, plan.factor, f_bits)
-        hit = _try_resume_side(spill_dir, side, fp)
-        if hit is not None:
-            side_state[side] = hit
-            reused[side] = True
-        else:
-            compute_side(side)
+    side_state, reused, side_fps, compute_side = _phase1(
+        sides, spill_dir, plan.factor, f_bits,
+        lambda k, v, side, fp: _partition_side(
+            k, v, plan.factor, f_bits, chunk_rows, spill_dir, side, fp),
+    )
     b_counts = side_state["build"][0]
     p_counts = side_state["probe"][0]
-    if int(b_counts.max(initial=0)) > partition_budget_rows or int(
-        p_counts.max(initial=0)
-    ) > partition_budget_rows:
-        raise RuntimeError(
-            f"a partition exceeds the per-partition budget "
-            f"({int(max(b_counts.max(), p_counts.max()))} rows > "
-            f"{partition_budget_rows}): re-run with f_bits={f_bits + 2} "
-            "(one more level of the same pass handles any skew)"
-        )
+    nb_cap, np_cap, local = _budget_caps_local(
+        b_counts, p_counts, partition_budget_rows, f_bits, plan)
     inv = np.uint64(mod_inverse_u32(plan.factor))
     total = 0
-    # every partition pads to ONE static (build, probe) shape so a
-    # single compiled join serves all F partitions -- per-partition
-    # shapes would recompile F times (minutes each on a remote-compile
-    # backend).  Pads carry the null key and are inert in the engine.
-    nb_cap = -(-max(int(b_counts.max(initial=0)), 128) // 128) * 128
-    np_cap = -(-max(int(p_counts.max(initial=0)), 128) // 128) * 128
-    # keys are already scrambled: factor=1 makes hashed_key the
-    # identity, so the local engine sees the same hash order the
-    # partition pass routed on
-    local = dataclasses.replace(
-        plan_join(nb_cap, np_cap), factor=1,
-        skip_bits=plan.skip_bits + f_bits,
-    )
-
-    def load_column(side, p, n, cap, col):
-        path = os.path.join(spill_dir, f"{side}_{p}_{col}.bin")
-        a = _read_u32(path, n)
-        csums = side_state[side][1 if col == "hk" else 2]
-        if _u64sum(a) != csums[p]:
-            raise SpillCorrupt(f"{path}: checksum mismatch")
-        return np.concatenate([a, np.zeros(cap - n, np.uint32)])
-
-    def load_side(side, p, n, cap):
-        """Read + verify one side's partition columns, then issue the
-        (async) H2D transfer.  A reused file that fails its checksum
-        recomputes that side's pass ONCE -- same inputs and routing, so
-        the counts (and thus every cap) are reproduced exactly."""
-        for attempt in (0, 1):
-            try:
-                hk = load_column(side, p, n, cap, "hk")
-                vl = load_column(side, p, n, cap, "val")
-                return jax.device_put(hk), jax.device_put(vl)
-            except SpillCorrupt:
-                if attempt or not reused[side]:
-                    raise
-                old_counts = side_state[side][0]
-                compute_side(side)
-                assert np.array_equal(side_state[side][0], old_counts)
+    load_side = _make_loader(spill_dir, side_state, reused, compute_side)
 
     def load_pair(p):
-        return (*load_side("build", p, int(b_counts[p]), nb_cap),
-                *load_side("probe", p, int(p_counts[p]), np_cap))
+        bk, bv = load_side("build", p, int(b_counts[p]), nb_cap)
+        pk, pv = load_side("probe", p, int(p_counts[p]), np_cap)
+        # read + verify first, then issue the (async) H2D transfers
+        return tuple(jax.device_put(a) for a in (bk, bv, pk, pv))
 
     live = [p for p in range(F) if int(b_counts[p]) and int(p_counts[p])]
     metas = [PartitionMeta(p, int(b_counts[p]), int(p_counts[p]), 0)
@@ -411,7 +473,7 @@ def grace_join(
                 raise RuntimeError(
                     f"partition {p}: window overflow persists"
                 )
-        jt = int(res.join_tuples)
+        jt = _exact_join_tuples(res)
         meta.join_tuples = jt
         total += jt
         _journal_append(spill_dir, p, jt)

@@ -58,7 +58,6 @@ fragments).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
 
@@ -71,30 +70,36 @@ from ..engine.config import JoinPlan, plan_join
 from ..engine.grace import (
     GraceResult,
     PartitionMeta,
-    SpillCorrupt,
     _append_u32,
+    _budget_caps_local,
+    _init_partition_files,
     _journal_append,
+    _make_loader,
     _on_tpu,
+    _phase1,
     _phase2_journal,
     _side_fingerprint,
-    _side_sidecar,
-    _try_resume_side,
     _u64sum,
+    _write_side_sidecar,
 )
 from ..engine.phj import JoinResult, phj_join, replan_from_span
-from ..engine.spill import _read_u32
 from ..ops.radix_partition_pallas import radix_partition_pallas
 from ..utils.hashing import hashed_key, mod_inverse_u32
 from .cpra import _engine_overflow, _engine_span, _owner_bits
 from .distributed import require_live_mesh
 
 
+@functools.lru_cache(maxsize=64)
 def _make_partition_step(mesh: Mesh, axis: str, factor: int, f_bits: int,
                          cap: int, interp: bool):
     """One superchunk's distributed partition pass: per-device radix
     pass + the owner all_to_all.  Returns fn(keys, vals) -> (hk regions,
     val regions, counts, overflow), all but overflow sharded over
-    `axis`; received layout per device is (n_src, F/n_dev, capr)."""
+    `axis`; received layout per device is (n_src, F/n_dev, capr).
+    lru-cached: a fresh jit(shard_map(closure)) per call would key the
+    jit cache on a new function identity and recompile the identical
+    program for the probe side that the build side just compiled
+    (minutes each on a remote-compile backend)."""
     n_dev = mesh.shape[axis]
 
     def step(keys, vals):
@@ -123,13 +128,15 @@ def _make_partition_step(mesh: Mesh, axis: str, factor: int, f_bits: int,
 
 def _partition_side_dist(
     keys, vals, factor: int, f_bits: int, chunk_rows: int, d: str,
-    side: str, mesh: Mesh, axis: str, cap_retries: int = 3,
+    side: str, mesh: Mesh, axis: str, fp: dict | None = None,
+    cap_retries: int = 3,
 ):
     """Stream one relation through the MESH's distributed radix pass;
     append each owner device's received fragments to the per-partition
     files `{side}_{p}_{hk,val}.bin`.  Same sidecar contract as
     engine.grace._partition_side (the two spill formats are
-    interchangeable).  chunk_rows is rows PER DEVICE per superchunk."""
+    interchangeable); `fp` is the caller's precomputed fingerprint.
+    chunk_rows is rows PER DEVICE per superchunk."""
     n_dev = mesh.shape[axis]
     F = 1 << f_bits
     Fl = F // n_dev
@@ -139,14 +146,9 @@ def _partition_side_dist(
     val_csums = [0] * F
     interp = not _on_tpu()
     sh = NamedSharding(mesh, P(axis))
-    steps: dict = {}
-    try:  # a half-written sidecar from a crashed run must not resume
-        os.remove(_side_sidecar(d, side))
-    except OSError:
-        pass
-    for p in range(F):
-        for col in ("hk", "val"):
-            open(os.path.join(d, f"{side}_{p}_{col}.bin"), "wb").close()
+    if fp is None:
+        fp = _side_fingerprint(keys, vals, factor, f_bits)
+    _init_partition_files(d, side, F)
     super_rows = n_dev * chunk_rows
     pos = 0
     while pos < n:
@@ -161,11 +163,10 @@ def _partition_side_dist(
         dv = jax.device_put(jnp.asarray(cv), sh)
         cap = 0  # pass's own estimate first
         for attempt in range(cap_retries + 1):
-            if cap not in steps:
-                steps[cap] = _make_partition_step(
-                    mesh, axis, factor, f_bits, cap, interp
-                )
-            rk, rv, rc, ovf = steps[cap](dk, dv)
+            step = _make_partition_step(
+                mesh, axis, factor, f_bits, cap, interp
+            )
+            rk, rv, rc, ovf = step(dk, dv)
             if int(ovf) == 0:
                 break
             # overflow is a value: retry this superchunk, doubled cap
@@ -195,19 +196,15 @@ def _partition_side_dist(
                 counts[p] += len(frag_k)
                 hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
                 val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
-    import json
-
-    with open(_side_sidecar(d, side), "w") as f:
-        json.dump({**_side_fingerprint(keys, vals, factor, f_bits),
-                   "counts": counts.tolist(),
-                   "hk_checksums": hk_csums,
-                   "val_checksums": val_csums}, f)
+    _write_side_sidecar(d, side, fp, counts, hk_csums, val_csums)
     return counts, hk_csums, val_csums
 
 
+@functools.lru_cache(maxsize=64)
 def _make_join_step(mesh: Mesh, axis: str, local_plan: JoinPlan):
     """Phase-2 round: every device joins its round's partition pair.
-    diag = [psum'd engine overflow count, pmax'd measured span]."""
+    diag = [psum'd engine overflow count, pmax'd measured span].
+    lru-cached for the same recompile reason as _make_partition_step."""
 
     def step(bk, bv, pk, pv):
         res = phj_join(bk, bv, pk, pv, local_plan)
@@ -291,73 +288,18 @@ def grace_join_dist(
                       stage="grace_dist_partition")
     sides = {"build": (inner_keys, inner_vals),
              "probe": (outer_keys, outer_vals)}
-    side_state = {}
-    reused = {}
-
-    def compute_side(side):
-        k, v = sides[side]
-        side_state[side] = _partition_side_dist(
+    side_state, reused, side_fps, compute_side = _phase1(
+        sides, spill_dir, plan.factor, f_bits,
+        lambda k, v, side, fp: _partition_side_dist(
             k, v, plan.factor, f_bits, chunk_rows, spill_dir, side,
-            mesh, axis)
-        reused[side] = False
-
-    side_fps = {}
-    for side, (k, v) in sides.items():
-        fp = side_fps[side] = _side_fingerprint(k, v, plan.factor, f_bits)
-        hit = _try_resume_side(spill_dir, side, fp)
-        if hit is not None:
-            side_state[side] = hit
-            reused[side] = True
-        else:
-            compute_side(side)
+            mesh, axis, fp),
+    )
     b_counts = side_state["build"][0]
     p_counts = side_state["probe"][0]
-    if int(b_counts.max(initial=0)) > partition_budget_rows or int(
-        p_counts.max(initial=0)
-    ) > partition_budget_rows:
-        raise RuntimeError(
-            f"a partition exceeds the per-partition budget "
-            f"({int(max(b_counts.max(), p_counts.max()))} rows > "
-            f"{partition_budget_rows}): re-run with f_bits={f_bits + 2} "
-            "(one more level of the same pass handles any skew)"
-        )
+    nb_cap, np_cap, local = _budget_caps_local(
+        b_counts, p_counts, partition_budget_rows, f_bits, plan)
     inv = np.uint64(mod_inverse_u32(plan.factor))
-    # ONE static (build, probe) cap across all rounds and devices: a
-    # single compiled join program serves all F partitions
-    nb_cap = -(-max(int(b_counts.max(initial=0)), 128) // 128) * 128
-    np_cap = -(-max(int(p_counts.max(initial=0)), 128) // 128) * 128
-    # keys are already scrambled: factor=1 makes hashed_key the identity
-    # and the local engine skips the f_bits the routing consumed
-    local = dataclasses.replace(
-        plan_join(nb_cap, np_cap), factor=1,
-        skip_bits=plan.skip_bits + f_bits,
-    )
-
-    def load_column(side, p, n_rows, cap, col):
-        path = os.path.join(spill_dir, f"{side}_{p}_{col}.bin")
-        a = _read_u32(path, n_rows)
-        csums = side_state[side][1 if col == "hk" else 2]
-        if _u64sum(a) != csums[p]:
-            raise SpillCorrupt(f"{path}: checksum mismatch")
-        return np.concatenate([a, np.zeros(cap - n_rows, np.uint32)])
-
-    def load_side(side, p, n_rows, cap):
-        """Read + verify one partition's columns; a reused file that
-        fails its checksum recomputes that side's pass ONCE (same
-        inputs and routing reproduce every count exactly)."""
-        if n_rows == 0:
-            z = np.zeros(cap, np.uint32)
-            return z, z
-        for attempt in (0, 1):
-            try:
-                return (load_column(side, p, n_rows, cap, "hk"),
-                        load_column(side, p, n_rows, cap, "val"))
-            except SpillCorrupt:
-                if attempt or not reused[side]:
-                    raise
-                old_counts = side_state[side][0]
-                compute_side(side)
-                assert np.array_equal(side_state[side][0], old_counts)
+    load_side = _make_loader(spill_dir, side_state, reused, compute_side)
 
     metas = [PartitionMeta(p, int(b_counts[p]), int(p_counts[p]), 0)
              for p in range(F)]
@@ -365,7 +307,6 @@ def grace_join_dist(
     sh = NamedSharding(mesh, P(axis))
     require_live_mesh(mesh, liveness_timeout_s, axis,
                       stage="grace_dist_join")
-    join_steps: dict = {}
 
     def round_parts(r):
         return [d * Fl + r for d in range(n_dev)]
@@ -413,10 +354,7 @@ def grace_join_dist(
         args = pending if pending is not None else build_args(r)
         res = None
         for attempt in range(window_retries + 1):
-            key = (local.tile, local.window, local.probe_chunks)
-            if key not in join_steps:
-                join_steps[key] = _make_join_step(mesh, axis, local)
-            res, diag = join_steps[key](*args)
+            res, diag = _make_join_step(mesh, axis, local)(*args)
             # double buffering: the next round's disk reads + H2D go
             # out while this round's join is still in flight on the
             # mesh (the diag read below is what forces completion)
@@ -450,10 +388,14 @@ def grace_join_dist(
                 raw_pk = (
                     pk.astype(np.uint64) * inv % (1 << 32)
                 ).astype(np.uint32)
+                # build_counts carries the [overflow, span] diag pair --
+                # the same 2-entry merge-diag contract on_partition
+                # consumers get from the single-chip driver (NOT the raw
+                # mesh-concatenated per-device build_counts)
                 res_slice = JoinResult(
                     pk, np.asarray(res.probe_vals)[sl],
                     np.asarray(res.match_vals)[sl], mc[sl],
-                    np.asarray(res.build_counts),
+                    np.asarray(diag),
                 )
                 on_partition(metas[p], res_slice, raw_pk)
     return GraceResult(total, metas, f_bits, reused_sides=dict(reused),

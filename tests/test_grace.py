@@ -55,6 +55,34 @@ def test_grace_join_duplicate_build_keys(tmp_path, workload):
     assert gres.join_tuples == len(want[0])
 
 
+def test_grace_chunk_rows_guard(tmp_path, workload):
+    """chunk_rows <= 0 must raise, not spin forever in the phase-1
+    stream (the distributed driver already guarded this)."""
+    ik, iv, ok, ov = workload
+    with pytest.raises(ValueError, match="chunk_rows"):
+        grace_join(ik, iv, ok, ov, f_bits=3, chunk_rows=0,
+                   spill_dir=str(tmp_path / "gz"))
+
+
+def test_exact_join_tuples_above_u32():
+    """Per-partition counts must not wrap at 2^32 output rows: the
+    float32-corrected device sum recovers the exact total (overflow-as-
+    value discipline -- a silently wrapped count is corruption)."""
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.grace import _exact_join_tuples
+    from hash_join_codes_knl_tpu.engine.phj import JoinResult
+
+    n = 2_000_000
+    cnts = np.full(n, 2400, np.uint32)  # sum = 4.8e9 > 2^32
+    cnts[: n // 2] ^= 7  # non-constant, exercises float rounding
+    want = int(cnts.astype(np.int64).sum())
+    z = jnp.zeros(n, jnp.uint32)
+    res = JoinResult(z, z, z, jnp.asarray(cnts), jnp.zeros(2, jnp.int32))
+    assert want > 2**32 and int(res.join_tuples) != want  # u32 wraps
+    assert _exact_join_tuples(res) == want
+
+
 def test_grace_partition_budget_guard(tmp_path, workload):
     """A partition larger than the per-partition budget must raise with
     re-plan guidance (recursive split = larger f_bits), never OOM the
