@@ -211,7 +211,15 @@ def stream_join(
 
     n_chunks = -(-no // chunk_rows)
 
+    # one-entry host cache: get_status (spill mode) reads a chunk to
+    # checksum it, and to_device for the SAME chunk follows immediately
+    # -- without the handoff every computed chunk's key/val columns
+    # would page in from the memmap twice
+    host_cache: dict = {}
+
     def host_chunk(k):
+        if k in host_cache:
+            return host_cache.pop(k)
         sl = slice(k * chunk_rows, min((k + 1) * chunk_rows, no))
         return np.asarray(outer_keys[sl]), np.asarray(outer_vals[sl])
 
@@ -232,14 +240,20 @@ def stream_join(
 
     def get_status(k):
         if k not in status:
-            ck_host, _ = host_chunk(k)
-            rows = len(ck_host)
-            csum = _chunk_checksum(ck_host)
-            resume = (
-                _try_resume_chunk(spill_dir, k, csum, rows, cap, plan,
-                                  build_fp)
-                if spill_dir else None
-            )
+            if spill_dir:
+                ck_host, cv_host = host_chunk(k)
+                host_cache.clear()
+                host_cache[k] = (ck_host, cv_host)
+                rows = len(ck_host)
+                csum = _chunk_checksum(ck_host)
+                resume = _try_resume_chunk(spill_dir, k, csum, rows, cap,
+                                           plan, build_fp)
+            else:
+                # no spill -> no checksum consumer: derive the row count
+                # arithmetically instead of paging in the whole chunk
+                rows = min(chunk_rows, no - k * chunk_rows)
+                csum = None
+                resume = None
             status[k] = (rows, csum, resume)
         return status[k]
 

@@ -42,9 +42,13 @@ def _load_cache(path: str) -> dict:
 
 
 def _time_sort(outer_n: int, C: int, tile: int, reps: int) -> float:
-    """Median seconds for the batched (C, cap/C) pair sort at this
-    geometry, on the default device, with a host-transfer fence per run
-    (block_until_ready is not a fence through the axon tunnel)."""
+    """MIN seconds over `reps` runs of the batched (C, cap/C) pair sort
+    at this geometry, on the default device, with a host-transfer fence
+    per run (block_until_ready is not a fence through the axon tunnel).
+    Min, not median: timing noise through the tunnel is one-sided
+    positive (host hiccups only ever ADD time), and at the default
+    reps=2 a median would actually be the max -- one hiccup on the
+    truly-fastest candidate could flip the cached verdict permanently."""
     import time
 
     import jax
@@ -75,8 +79,7 @@ def _time_sort(outer_n: int, C: int, tile: int, reps: int) -> float:
         t0 = time.perf_counter()
         float(run(k, v))
         ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    return min(ts)
 
 
 def tuned_probe_chunks(
@@ -120,9 +123,16 @@ def tuned_probe_chunks(
         for C in candidates:
             times[str(C)] = round(_time_sort(outer_n, C, tile, reps), 4)
         best = int(min(times, key=lambda c: times[c]))
+        # merge-on-write + atomic replace: a concurrent tuner (e.g. the
+        # bench matrix running several geometries in parallel processes)
+        # must neither read a torn half-written file nor have its own
+        # fresh entry clobbered by this process's stale snapshot
+        cache = _load_cache(path)
         cache[key] = {"C": best, "times": times}
-        with open(path, "w") as f:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(cache, f, indent=1)
+        os.replace(tmp, path)
         return best
     except Exception:
         return default

@@ -61,9 +61,8 @@ def pack_by_owner_radix(keys, vals, factor: int, c_bits: int,
     it is the returned signal, never silent.  Returns
     (bucket_hk (C*capr,), bucket_vals, counts (C,), overflow)."""
     from ..ops.radix_partition_pallas import radix_partition_pallas
-    from ..utils.hashing import hashed_key as _hk
 
-    hk = _hk(keys, factor)
+    hk = hashed_key(keys, factor)
     return radix_partition_pallas(hk, vals, c_bits, cap=cap,
                                   interpret=interpret)
 
@@ -170,6 +169,11 @@ def make_cpra_step(
 
     n_chips = mesh.shape[axis]
     c_bits = _owner_bits(n_chips)
+    if pack_impl not in ("sort", "radix"):
+        # an unrecognized string must not silently run the sort pack
+        raise ValueError(
+            f"pack_impl must be 'sort' or 'radix', got {pack_impl!r}"
+        )
     use_tiers = tier_ratio is not None and n_chips >= 2
     if pack_impl == "radix" and use_tiers:
         # the radix pass routes by top hash bits; the tier hash is a
@@ -180,12 +184,25 @@ def make_cpra_step(
             "tier hash is not a top-bits partition -- use the sort pack "
             "for tiered placement"
         )
+    if use_tiers and not plan.probe_impl.startswith("merge"):
+        # the tier level is a RANGE hash of the factor-1 scramble
+        # (hash_ratio: mulhi32(hk, 100) vs cut), so each chip receives
+        # keys whose factor-1 hk is confined to its tier's slice of the
+        # u32 line -- a padded local join partitioning on the TOP
+        # factor-1 bits would be skewed into guaranteed slot overflow.
+        # The merge engine sorts the full range and is insensitive to
+        # that compression; refuse the combination loudly.
+        raise ValueError(
+            "tier_ratio requires a merge-mode local plan: tier routing "
+            "compresses each chip's factor-1 hash range, skewing padded "
+            "top-bits partitioning -- use probe_impl='merge'"
+        )
     # local partitioning consumes the hash bits BELOW the owner bits --
     # within one owner, the top c_bits are constant and carry no
-    # information.  Tier routing hashes with an independent second factor
-    # (hash_ratio/factor2, matching the reference's factors_2), so the
-    # factor-1 scramble the local join partitions on keeps full entropy
-    # and no bits are skipped.
+    # information.  With tiers, owner routing is hash_ratio (tier range
+    # cut + an independent factor2 within the half) rather than a bit
+    # prefix, so no factor-1 bits are consumable as skip_bits; the local
+    # plan must be merge mode (guard above), which never reads them.
     skip = plan.skip_bits if use_tiers else plan.skip_bits + c_bits
     local_plan = dataclasses.replace(plan, skip_bits=skip)
 
@@ -313,6 +330,14 @@ def make_cpra_steps_staged(
     n_chips = mesh.shape[axis]
     c_bits = _owner_bits(n_chips)
     use_tiers = tier_ratio is not None and n_chips >= 2
+    if use_tiers and not plan.probe_impl.startswith("merge"):
+        # same range-compression hazard as make_cpra_step (tier routing
+        # confines each chip's factor-1 hash range to its tier's slice)
+        raise ValueError(
+            "tier_ratio requires a merge-mode local plan: tier routing "
+            "compresses each chip's factor-1 hash range, skewing padded "
+            "top-bits partitioning -- use probe_impl='merge'"
+        )
     skip = plan.skip_bits if use_tiers else plan.skip_bits + c_bits
     local_plan = dataclasses.replace(plan, skip_bits=skip)
 
@@ -575,15 +600,23 @@ def cpra_join(
         plan = plan_join(ni // n_chips, no // n_chips)
     if n_chips == 1 and not skew:
         # degenerate mesh: the owner exchange is the identity -- skip the
-        # bucket pack entirely (its static caps would 3x the memory)
-        res = phj_join(
-            jnp.asarray(inner_keys), jnp.asarray(inner_vals),
-            jnp.asarray(outer_keys), jnp.asarray(outer_vals), plan,
+        # bucket pack entirely (its static caps would 3x the memory).
+        # Merge-mode window overflow re-plans via the shared single-chip
+        # driver; padded/radix overflow (table slots or pass capacity,
+        # which re-planning cannot fix) raises with the same guidance as
+        # the mesh loop below -- never returned silently truncated.
+        from ..engine.phj import join as single_chip_join
+
+        res, plan = single_chip_join(
+            inner_keys, inner_vals, outer_keys, outer_vals, plan,
+            window_retries=retries,
         )
-        if plan.probe_impl.startswith("merge") and int(
-            res.build_counts[0]
-        ) > 0:
-            raise RuntimeError("probe window overflow on single chip")
+        if int(_engine_overflow(res, plan)) > 0:
+            raise RuntimeError(
+                "local join overflow on the padded path (table slots "
+                "or radix pass capacity exceeded): raise plan.slots or "
+                "the pass fanout -- window re-planning cannot fix this"
+            )
         return res, plan
     # stage boundary: fail fast with a diagnosis instead of hanging in
     # the exchange collective if a mesh participant is gone
@@ -616,7 +649,11 @@ def cpra_join(
             if skew:
                 return res, heavy, plan
             return res, plan
-        res = None  # free the failed attempt's buffers before retrying
+        # free the failed attempt's buffers before retrying -- heavy
+        # holds four probe-shard-sized device arrays and would otherwise
+        # stay live across the retry's fresh allocations
+        res = None
+        heavy = None
         if exch_ovf:
             slack *= 2.0
         if heavy_ovf:

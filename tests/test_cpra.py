@@ -120,6 +120,41 @@ def test_cpra_single_chip_mesh():
     assert _digest_aligned(res) == want
 
 
+def test_cpra_single_chip_padded_overflow_raises():
+    """The degenerate 1-chip path must surface padded-table overflow
+    (dropped tuples) as an error like the mesh loop does, never return
+    a silently truncated result (regression: only merge-mode window
+    overflow was checked)."""
+    inner, outer, _ = generate(seed=67, inner_tuples=1024,
+                               outer_tuples=4096, mode="uniform",
+                               prefer_native=False)
+    mesh = jax.make_mesh((1,), ("x",))
+    # 4 partitions x 128 slots for 1024 build rows (~256/partition):
+    # guaranteed drops
+    plan = JoinPlan(p_bits=2, slots=128, tile=128, pass_bits=(2,),
+                    probe_impl="jnp")
+    with pytest.raises(RuntimeError, match="slots"):
+        cpra_join(inner.keys, inner.vals, outer.keys, outer.vals,
+                  mesh, plan, slack=4.0)
+
+
+def test_cpra_rejects_bad_knobs():
+    """Unknown pack_impl strings and tier routing with a padded local
+    plan must both fail loudly (the silent fallbacks they shadowed:
+    running the sort pack for a misspelled 'radix', and a skewed padded
+    partition under tier range compression)."""
+    from hash_join_codes_knl_tpu.parallel.cpra import make_cpra_step
+
+    mesh = jax.make_mesh((8,), ("x",))
+    plan = JoinPlan(p_bits=4, slots=128, tile=128, pass_bits=(4,))
+    with pytest.raises(ValueError, match="pack_impl"):
+        make_cpra_step(mesh, plan, 128, 128, pack_impl="radx")
+    padded = JoinPlan(p_bits=4, slots=128, tile=128, pass_bits=(4,),
+                      probe_impl="pallas")
+    with pytest.raises(ValueError, match="merge"):
+        make_cpra_step(mesh, padded, 128, 128, tier_ratio=0.5)
+
+
 def test_cpra_overflow_auto_retry():
     # mild skew: ~25% of probes hit one key -- overflows slack=1.0 caps,
     # fits after the automatic re-plan with doubled slack
