@@ -32,19 +32,62 @@ import numpy as np
 
 
 def _load_or_generate(args):
+    """Returns (inner, outer, generated).  Only MISSING files fall back
+    to in-memory generation; a truncated/corrupt file raises (silently
+    regenerating would run the benchmark on different data than the
+    user's files -- never-silent convention)."""
     from .relation import load_relation
     from .relgen.generate import generate
 
     try:
         inner = load_relation("inner", args.inner, args.dir)
         outer = load_relation("outer", args.outer, args.dir)
-        return inner, outer
-    except (FileNotFoundError, ValueError):
+        return inner, outer, False
+    except FileNotFoundError:
         mode = "ref" if args.outer <= args.inner else "uniform"
         inner, outer, _ = generate(
             args.seed, args.inner, args.outer, mode=mode
         )
-        return inner, outer
+        return inner, outer, True
+
+
+def _mesh_devices(threads: int) -> int:
+    """argv <threads> -> mesh device count: clamped to the attached
+    devices and floored to a power of two (the collectives' contract);
+    threads <= 0 degenerates to 1."""
+    import jax
+
+    n = max(1, min(threads, len(jax.devices())))
+    return 1 << (n.bit_length() - 1)
+
+
+def _expected_tuples(args, generated: bool):
+    """Analytic expected join cardinality (npj.cpp:937-942), or None
+    when the expectation is not exact: outer > inner (stochastic
+    uniform outer walk), or on-disk relations whose selectivity is
+    unknown (pass --selc to assert it)."""
+    from .relation import expected_join_tuples
+
+    if args.outer > args.inner:
+        return None
+    selc = 1.0 if generated else args.selc
+    if selc is None:
+        return None
+    return expected_join_tuples(args.inner, args.outer, selc)
+
+
+def _finish(args, alg, timer, profiling, generated, join_tuples,
+            extras=None):
+    """Shared epilogue: cardinality gate, profiler close, report.
+    Returns the process exit code."""
+    profiling.close()
+    expect = _expected_tuples(args, generated)
+    if expect is not None and join_tuples != expect:
+        print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
+              file=sys.stderr)
+        return 1
+    _report(alg, timer, args.outer, join_tuples, args.json, extras)
+    return 0
 
 
 def _report(alg, timer, outer_n, join_tuples, as_json, roofline=None):
@@ -73,6 +116,11 @@ def main(argv=None):
                    help="ratio (joins) or selc (write)")
     p.add_argument("zipf", type=float, nargs="?", default=0.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--selc", type=float, default=None,
+                   help="join selectivity of the ON-DISK relations (the "
+                        "selc they were written with); enables the exact "
+                        "cardinality check for file-loaded data (in-"
+                        "memory generated data is always checked)")
     p.add_argument("--dir", default=".")
     p.add_argument("--json", action="store_true")
     p.add_argument("--timelog", action="store_true",
@@ -136,7 +184,6 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from .relation import expected_join_tuples
     from .utils.timing import PhaseTimer
 
     profiling = contextlib.ExitStack()
@@ -145,7 +192,7 @@ def main(argv=None):
 
         profiling.enter_context(jax.profiler.trace(args.profile))
 
-    inner, outer = _load_or_generate(args)
+    inner, outer, generated = _load_or_generate(args)
     timer = PhaseTimer()
     if args.algorithm == "phj" and args.grace_bits > 0:
         # Grace mode: both relations host-resident, partitioned out of
@@ -158,12 +205,10 @@ def main(argv=None):
         if args.threads > 1:
             # <threads> mesh devices: distributed radix pass + owner
             # all_to_all, partition-parallel joins (parallel/grace_dist)
-            import jax
-
             from .parallel.distributed import data_mesh
             from .parallel.grace_dist import grace_join_dist
 
-            n_dev = max(1, min(args.threads, len(jax.devices())))
+            n_dev = _mesh_devices(args.threads)
             gres = timer.run(
                 "grace_join", grace_join_dist, inner.keys, inner.vals,
                 outer.keys, outer.vals, data_mesh(n_dev),
@@ -180,26 +225,18 @@ def main(argv=None):
                 chunk_rows=args.stream_chunk_rows or 32_000_000,
                 spill_dir=args.spill_dir,
             )
-        join_tuples = gres.join_tuples
-        expect = expected_join_tuples(len(inner.keys), len(outer.keys))
-        if args.outer <= args.inner and join_tuples != expect:
-            print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
-                  file=sys.stderr)
-            return 1
-        profiling.close()
-        _report("phj-grace", timer, len(outer.keys), join_tuples,
-                args.json,
-                {"partitions": 1 << gres.f_bits,
-                 "max_build_partition": max(
-                     (m.build_rows for m in gres.partitions), default=0),
-                 "max_probe_partition": max(
-                     (m.probe_rows for m in gres.partitions), default=0)})
-        return 0
-    ik = timer.run("load_device", jnp.asarray, inner.keys)
-    iv = jnp.asarray(inner.vals)
+        return _finish(
+            args, "phj-grace", timer, profiling, generated,
+            gres.join_tuples,
+            {"partitions": 1 << gres.f_bits,
+             "max_build_partition": max(
+                 (m.build_rows for m in gres.partitions), default=0),
+             "max_probe_partition": max(
+                 (m.probe_rows for m in gres.partitions), default=0)})
     if args.algorithm == "phj" and args.stream_chunk_rows > 0:
-        # out-of-core: the probe side stays host-resident and streams
-        # through the chip chunk by chunk (engine/stream.py)
+        # out-of-core: BOTH relations stay host-side here -- the
+        # streaming driver uploads the build side itself and streams
+        # the probe side chunk by chunk (engine/stream.py)
         from .engine.stream import stream_join
 
         sres = timer.run(
@@ -207,40 +244,34 @@ def main(argv=None):
             outer.keys, outer.vals, args.stream_chunk_rows,
             spill_dir=args.spill_dir,
         )
-        join_tuples = sres.join_tuples
-        expect = expected_join_tuples(len(inner.keys), len(outer.keys))
-        if args.outer <= args.inner and join_tuples != expect:
-            print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
-                  file=sys.stderr)
-            return 1
-        profiling.close()
-        _report("phj-stream", timer, len(outer.keys), join_tuples,
-                args.json,
-                {"chunks": len(sres.chunks),
-                 "resumed_chunks": sres.resumed_chunks,
-                 "chunk_rows": args.stream_chunk_rows,
-                 "window": sres.plan.window})
-        return 0
-    ok, ov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
+        return _finish(
+            args, "phj-stream", timer, profiling, generated,
+            sres.join_tuples,
+            {"chunks": len(sres.chunks),
+             "resumed_chunks": sres.resumed_chunks,
+             "chunk_rows": args.stream_chunk_rows,
+             "window": sres.plan.window})
 
     if args.algorithm == "npj":
         if args.threads > 1:
-            import jax
-
             from .engine.npj import plan_npj
             from .parallel.distributed import data_mesh
             from .parallel.npj_dist import npj_join_dist
 
-            n_dev = max(1, min(args.threads, len(jax.devices())))
-            n_dev = 1 << (n_dev.bit_length() - 1)  # floor power of two
-            mesh = data_mesh(n_dev)
+            # host arrays go straight in: the distributed driver uploads
+            # with its own mesh sharding (a prior default-device upload
+            # would be pure wasted tunnel traffic)
+            mesh = data_mesh(_mesh_devices(args.threads))
             _, _, join_tuples, _ = timer.run(
                 "build+probe", npj_join_dist, inner.keys, inner.vals,
-                outer.keys, outer.vals, mesh, plan_npj(len(ik)),
+                outer.keys, outer.vals, mesh, plan_npj(len(inner.keys)),
             )
         else:
             from .engine.npj import npj_build, npj_probe_sorted, plan_npj
 
+            ik = timer.run("load_device", jnp.asarray, inner.keys)
+            iv = jnp.asarray(inner.vals)
+            ok = jnp.asarray(outer.keys)
             plan = plan_npj(len(ik))
             tk, tv, bovf, max_disp = timer.run("build", npj_build, ik, iv,
                                                plan)
@@ -264,6 +295,9 @@ def main(argv=None):
         from .engine.phj import join as phj_engine_join
         from .engine.phj import phj_join_merge_staged
 
+        ik = timer.run("load_device", jnp.asarray, inner.keys)
+        iv = jnp.asarray(inner.vals)
+        ok, ov = jnp.asarray(outer.keys), jnp.asarray(outer.vals)
         plan = plan_join(len(ik), len(ok))
         if args.config:
             import dataclasses
@@ -308,21 +342,23 @@ def main(argv=None):
 
         from .engine.config import plan_join
         from .parallel.cpra import cpra_join
+        from .parallel.distributed import data_mesh
 
-        n_dev = min(args.threads, len(jax.devices()))
-        n_dev = max(1, 1 << (n_dev.bit_length() - 1))  # floor power of two
-        mesh = jax.make_mesh((n_dev,), ("x",))
+        # host arrays go straight to the cpra drivers: they device_put
+        # with their own mesh sharding
+        ni, no = len(inner.keys), len(outer.keys)
+        n_dev = _mesh_devices(args.threads)
+        mesh = data_mesh(n_dev)
         if args.chunks > 1 and n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec
-            from .engine.config import plan_join
             from .parallel.cpra import make_cpra_step_pipelined
 
-            plan = plan_join(len(ik) // n_dev, len(ok) // n_dev)
+            plan = plan_join(ni // n_dev, no // n_dev)
             step = make_cpra_step_pipelined(
                 mesh, plan,
-                inner_cap=max(64, 4 * len(ik) // (n_dev * n_dev)),
+                inner_cap=max(64, 4 * ni // (n_dev * n_dev)),
                 outer_cap=max(plan.tile * args.chunks,
-                              4 * len(ok) // (n_dev * n_dev)),
+                              4 * no // (n_dev * n_dev)),
                 chunks=args.chunks,
             )
             sh = NamedSharding(mesh, PartitionSpec("x"))
@@ -340,29 +376,34 @@ def main(argv=None):
             # the reference times separately, cpra2.cpp:1895-1905) vs
             # the local join
             from jax.sharding import NamedSharding, PartitionSpec
-            from .engine.config import plan_join
             from .parallel.cpra import make_cpra_steps_staged
 
-            n_chips = mesh.shape["x"]
-            plan = plan_join(len(ik) // n_chips, len(ok) // n_chips)
+            plan = plan_join(ni // n_dev, no // n_dev)
             sh = NamedSharding(mesh, PartitionSpec("x"))
             dev = lambda x: jax.device_put(np.asarray(x), sh)
             args_dev = (dev(inner.keys), dev(inner.vals),
                         dev(outer.keys), dev(outer.vals))
             slack, bias = 2.0, 1.0
-            if args.arg4 is not None and n_chips >= 2:
+            if args.arg4 is not None and n_dev >= 2:
                 bias = 2.0 * max(args.arg4, 1.0 - args.arg4)
             for _ in range(3):
-                icap = max(64, int(len(ik) / n_chips**2 * slack * bias))
+                icap = max(64, int(ni / n_dev**2 * slack * bias))
                 ocap = max(plan.tile,
-                           int(len(ok) / n_chips**2 * slack * bias))
+                           int(no / n_dev**2 * slack * bias))
                 ex, jo = make_cpra_steps_staged(
                     mesh, plan, icap, ocap,
-                    tier_ratio=args.arg4 if n_chips >= 2 else None,
+                    tier_ratio=args.arg4 if n_dev >= 2 else None,
                 )
-                *exchanged, eovf = timer.run("exchange", ex, *args_dev)
-                res, jovf = timer.run("local_join", jo, *exchanged)
+                # a FRESH timer per attempt: PhaseTimer accumulates by
+                # name, so an overflowed attempt's run + the retry's
+                # recompile would otherwise inflate the reported
+                # exchange/local_join split (the whole point of staging)
+                att = PhaseTimer()
+                *exchanged, eovf = att.run("exchange", ex, *args_dev)
+                res, jovf = att.run("local_join", jo, *exchanged)
                 if not (bool(eovf) or bool(jovf)):
+                    timer.phases.update(att.phases)
+                    timer.timeline.extend(att.timeline)
                     break
                 slack *= 2.0
             else:
@@ -377,26 +418,25 @@ def main(argv=None):
             )
         join_tuples = int(np.asarray(res.join_tuples).sum())
 
-    profiling.close()
-    expect = expected_join_tuples(len(inner.keys), len(outer.keys))
-    if args.outer <= args.inner and join_tuples != expect:
-        print(f"CARDINALITY MISMATCH: got {join_tuples} want {expect}",
-              file=sys.stderr)
-        return 1
     roofline = None
-    if args.timelog and args.algorithm == "phj":
+    if (args.timelog and args.algorithm == "phj"
+            and plan.probe_impl.startswith("merge")):
+        # merge pipeline only: the traffic model below describes the
+        # sort/window/probe stages -- printing it for a padded/radix run
+        # would attribute roofline fractions to a pipeline that never
+        # executed
         from .engine.phj import _merge_params
         from .utils.roofline import merge_phj_traffic, roofline_report
 
         # `plan` is the one the join actually ran with (--config overrides
         # applied), so the per-phase roofline uses the real geometry
-        tile, window, _, _ = _merge_params(plan, len(ik), len(ok))
+        ni, no = len(inner.keys), len(outer.keys)
+        tile, window, _, _ = _merge_params(plan, ni, no)
         roofline = roofline_report(
-            timer.phases, merge_phj_traffic(len(ik), len(ok), tile, window)
+            timer.phases, merge_phj_traffic(ni, no, tile, window)
         )
-    _report(args.algorithm, timer, len(outer.keys), join_tuples, args.json,
-            roofline)
-    return 0
+    return _finish(args, args.algorithm, timer, profiling, generated,
+                   join_tuples, roofline)
 
 
 if __name__ == "__main__":

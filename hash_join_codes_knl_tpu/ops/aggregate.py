@@ -41,6 +41,12 @@ def hash_aggregate(keys: jnp.ndarray, vals: jnp.ndarray):
     aligned join output feed this directly without materialization.
     """
     n = keys.shape[0]
+    if n == 0:
+        # static-shape early exit: the run-boundary concatenate below
+        # builds a (1,) flag against a (0,) mask (trace-time error), and
+        # csum[n-1] would index out of bounds
+        z = jnp.zeros(0, jnp.uint32)
+        return jnp.uint32(0), z, z, jnp.zeros(0, jnp.int32)
     # sort on keys-1 (order-preserving u32 bijection for nonzero keys;
     # the null key 0 wraps to 0xFFFFFFFF and sorts LAST)
     km1_s, v_s = jax.lax.sort((keys - jnp.uint32(1), vals), num_keys=1)

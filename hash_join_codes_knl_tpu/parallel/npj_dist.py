@@ -109,7 +109,15 @@ def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
             window >= size_cap
         ):
             break
-        window = min(2 * window, size_cap)
+        # an undersized EXPLICIT window jumps straight to the auto
+        # estimate (as in engine.npj.npj_join); past that, double --
+        # plain doubling from a tuned single-shard window could burn all
+        # retries below the size the auto formula would pick first try
+        window = min(
+            max(2 * window,
+                plan.auto_window(len(outer_keys) // mesh.shape[axis])),
+            size_cap,
+        )
     if int(wovf) > 0:
         raise RuntimeError(
             "NPJ sorted-probe window overflow persists at the widest "

@@ -52,4 +52,10 @@ fi
 note "step 4: headline bench refresh"
 timeout 3000 python bench.py >> "$OUT" 2>&1
 note "step 4 exit $?"
+
+note "step 5: the reference's own published workload shape (200Mx200M,"
+note "  KNL best: PHJ 4.4 s = 45.45 M tuples/s aggregate)"
+HJK_BENCH_INNER=200000000 HJK_BENCH_OUTER=200000000 \
+  timeout 3600 python bench.py >> "$OUT" 2>&1
+note "step 5 exit $?"
 note "queue done"

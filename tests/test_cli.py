@@ -19,6 +19,45 @@ def test_write_then_phj(tmp_path, capsys):
     assert out["tuples_per_s"] > 0
 
 
+def test_cli_selc_files_checked_only_with_selc(tmp_path, capsys):
+    """On-disk relations written with selc < 1: without --selc the
+    cardinality gate is SKIPPED (selectivity unknown -- the old check
+    assumed 1.0 and false-failed correct joins); with --selc it runs
+    exactly."""
+    assert main(["write", "1", "4096", "4096", "0.5", "--dir",
+                 str(tmp_path), "--seed", "11"]) == 0
+    capsys.readouterr()
+    assert main(["phj", "1", "4096", "4096", "--dir", str(tmp_path),
+                 "--seed", "11", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 2048
+    assert main(["phj", "1", "4096", "4096", "--dir", str(tmp_path),
+                 "--seed", "11", "--selc", "0.5", "--json"]) == 0
+    # and a wrong --selc assertion is a loud mismatch
+    assert main(["phj", "1", "4096", "4096", "--dir", str(tmp_path),
+                 "--seed", "11", "--selc", "1.0", "--json"]) == 1
+
+
+def test_cli_truncated_relation_raises(tmp_path):
+    """A truncated on-disk relation must raise, not silently regenerate
+    different data under the benchmark (never-silent convention)."""
+    assert main(["write", "1", "4096", "4096", "--dir", str(tmp_path),
+                 "--seed", "3"]) == 0
+    p = tmp_path / "ik_4096.txt"
+    p.write_bytes(p.read_bytes()[: 100 * 4])
+    with pytest.raises(ValueError, match="truncat|read"):
+        main(["phj", "1", "4096", "4096", "--dir", str(tmp_path)])
+
+
+def test_cpra_cli_zero_threads(capsys):
+    """threads=0 degenerates to one device instead of a negative-shift
+    crash."""
+    assert main(["cpra", "0", "2048", "1024", "--seed", "9",
+                 "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["join_tuples"] == 2048
+
+
 def test_npj_cli_in_memory(capsys):
     assert main(["npj", "1", "2048", "2048", "--seed", "5", "--json"]) == 0
     out = json.loads(capsys.readouterr().out.strip())

@@ -59,6 +59,16 @@ def test_hash_aggregate_matches_numpy():
         assert s == np.sum(vals[m].astype(np.uint32), dtype=np.uint32)
 
 
+def test_hash_aggregate_empty_input():
+    """Aggregating an empty (fully filtered) relation returns zero
+    groups instead of a trace-time shape error."""
+    n_groups, gk, sums, counts = hash_aggregate(
+        jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.uint32)
+    )
+    assert int(n_groups) == 0
+    assert gk.shape == sums.shape == counts.shape == (0,)
+
+
 def test_hash_aggregate_ignores_nulls():
     keys = np.array([0, 5, 0, 5, 9], dtype=np.uint32)
     vals = np.array([7, 1, 7, 2, 3], dtype=np.uint32)
