@@ -319,17 +319,15 @@ def main(argv=None):
                 return 1
         else:
             # the auto re-planner (engine.phj.join): merge-probe window
-            # overflow is measured and re-planned, never dropped
-            res, plan = timer.run("partition+build+probe", phj_engine_join,
-                                  ik, iv, ok, ov, plan)
-            if not plan.probe_impl.startswith("merge"):
-                bc = np.asarray(res.build_counts)
-                over = (int(bc[-1]) != 0 if plan.partition_impl == "radix"
-                        else bool((bc > plan.slots).any()))
-                if over:
-                    print("PARTITION OVERFLOW: raise slots via --config",
-                          file=sys.stderr)
-                    return 1
+            # overflow is measured and re-planned, and padded/radix
+            # overflow raises (never silent) -- map either to exit 1
+            try:
+                res, plan = timer.run("partition+build+probe",
+                                      phj_engine_join, ik, iv, ok, ov,
+                                      plan)
+            except RuntimeError as e:
+                print(f"OVERFLOW: {e}; adjust --config", file=sys.stderr)
+                return 1
         join_tuples = int(res.join_tuples)
         if args.check:
             from .engine.validate import validate_join_result

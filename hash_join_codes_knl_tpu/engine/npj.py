@@ -86,13 +86,16 @@ class NpjPlan:
         chunks = max(3, self.ROWCHUNK_BUDGET // max(1, self.tile // 128))
         return chunks * 128
 
-    def auto_window(self, probes: int) -> int:
+    def auto_window(self, probes: int, disp: int = 384) -> int:
         """Window for the sorted probe: expected home-bucket span of one
-        probe tile (tile/probes of the bucket range) + parking-displacement
-        and order-statistic margins, clamped to the table size and the
+        probe tile (tile/probes of the bucket range) + the parking
+        displacement (pass the MEASURED max_disp when available -- the
+        default 384 budgets typical displacement, and a clustered build
+        beyond it would otherwise waste a full probe pass + recompile)
+        + an order-statistic margin, clamped to the table size and the
         compilable window ceiling."""
         lam = self.tile * self.buckets / max(probes, 1)
-        w = int(lam + 8 * (lam ** 0.5) + 384)
+        w = int(lam + 8 * (lam ** 0.5) + max(384, disp))
         return min(-(-w // 128) * 128, self.table_size, self.max_window)
 
 
@@ -213,12 +216,25 @@ def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
     )
     kp = jnp.concatenate([probe_keys, jnp.zeros(cap - n, jnp.uint32)])
     idx = jnp.arange(cap, dtype=jnp.int32)
-    h0_s, k_s, idx_s = jax.lax.sort((h0p, kp, idx), num_keys=1)
+    # num_keys=2: the KEY must be the secondary sort key so equal-h0
+    # groups come out key-ordered.  The shared kernel's constant-tile
+    # fast path broadcasts row 0's results whenever tile[first] ==
+    # tile[last]; a key occupies exactly one home bucket, so under
+    # (h0, key) order first == last still implies the whole tile is one
+    # key -- under h0-only order a bucket-colliding key interleaved
+    # inside a heavy hitter's run would silently receive the hot key's
+    # matches on TPU.
+    h0_s, k_s, idx_s = jax.lax.sort((h0p, kp, idx), num_keys=2)
     lo = h0_s[::tile]
     hi = h0_s[tile - 1 :: tile]
     wrow = jnp.clip(lo // 128, 0, rows_total - w_chunks)
+    # required span clamps to the table end: a cluster parked near the
+    # tail cannot extend past `size`, so hi + max_disp + 1 overstates
+    # the true requirement there (a whole-table window covers
+    # everything yet would be flagged as overflow)
+    need_end = jnp.minimum(hi + max_disp + 1, size)
     overflow = jnp.sum(
-        (hi + max_disp + 1 - wrow * 128 > window).astype(jnp.int32)
+        (need_end - wrow * 128 > window).astype(jnp.int32)
     )
     tk2 = table_keys.reshape(rows_total, 128)
     tv2 = table_vals.reshape(rows_total, 128)
@@ -254,14 +270,20 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
         mv, mc = npj_probe(tk, tv, ok, plan)
         return mv, mc, plan
     size_cap = min(plan.table_size, plan.max_window)
-    window = plan.window or plan.auto_window(len(ok))
+    # the measured parking displacement is already synced (the overflow
+    # check above): fold it into the FIRST window so a clustered build
+    # (max_disp past auto_window's default 384-slot budget) does not
+    # burn a full wasted probe pass + a doubled-window recompile
+    disp = int(max_disp) + 128
+    window = plan.window or plan.auto_window(len(ok), disp)
     for _ in range(window_retries + 1):
         mv, mc, wovf = npj_probe_sorted(tk, tv, ok, plan, max_disp, window)
         if int(wovf) == 0 or window >= size_cap:
             break
         # an undersized explicit window jumps straight to the auto
         # estimate; past that, double
-        window = min(max(2 * window, plan.auto_window(len(ok))), size_cap)
+        window = min(max(2 * window, plan.auto_window(len(ok), disp)),
+                     size_cap)
     if int(wovf) != 0:
         raise RuntimeError(
             "sorted-probe window overflow persists at the widest "

@@ -102,6 +102,16 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
     cap = -(-no // quantum) * quantum
     if plan.window:
         window = plan.window
+        # an EXPLICIT window past the dense kernel's scoped-vmem compile
+        # budget (rows x chunks, see GATHER_ROWCHUNK_BUDGET) would crash
+        # the compiler minutes into a remote compile -- refuse loudly
+        dense_cap = (GATHER_ROWCHUNK_BUDGET // max(1, tile // 128)) * 128
+        if window > dense_cap:
+            raise ValueError(
+                f"window={window} exceeds the compilable ceiling "
+                f"{dense_cap} at tile {tile} (scoped-vmem rows x chunks "
+                "budget): shrink the tile or the window"
+            )
     else:
         # coverage: the window must hold the tile's build-side span --
         # mean lam plus two fluctuation terms: Poisson thinning of the
@@ -117,19 +127,30 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
         window = int(
             max(384, lam + 8 * (lam ** 0.5) + 8 * lam / (tile ** 0.5) + 520)
         )
-        if chunks > 1:
-            # stay within the proven kernel geometry; if the true spans
-            # need more, the counted overflow re-plans the geometry.
-            # AUTO windows clamp one step below the 121-chunk compile
-            # ceiling: 118 chunks (15104) is the geometry reproduced in
-            # 6+ sessions, while a 121-chunk kernel compile was seen to
-            # crash the remote compile helper in r3 (the scoped-vmem
-            # budget 24 rows x 121 chunks sits exactly at the measured
-            # boundary).  Explicit plan.window values are not clamped.
-            window = min(window, (GATHER_MAX_CHUNKS - 3) * 128)
+        # stay within the proven kernel geometry; if the true spans
+        # need more, the counted overflow re-plans the geometry (tile
+        # shrink / chunk shrink, replan_from_span).  AUTO windows clamp
+        # one step below the compile ceiling: 118 chunks (15104) at
+        # tile 3072 is the geometry reproduced in 6+ sessions, while a
+        # 121-chunk kernel compile was seen to crash the remote compile
+        # helper in r3 (the scoped-vmem budget 24 rows x 121 chunks
+        # sits exactly at the measured boundary).  The ceiling is
+        # rows x chunks, so it is TILE-dependent -- and it applies at
+        # chunks == 1 too (a huge-build/small-probe auto window would
+        # otherwise hand the dense kernel an uncompilable width).
+        window = min(window, replan_window_cap(tile))
     window = -(-window // 128) * 128
     rows_total = max(-(-ni // 128), window // 128)
     return tile, window, rows_total, cap
+
+
+def _pad_pair(hk, vals, pad_to):
+    """Zero-pad both columns to pad_to (the null-key pad convention)."""
+    hk_p = jnp.concatenate([hk, jnp.zeros(pad_to - hk.shape[0], jnp.uint32)])
+    v_p = jnp.concatenate(
+        [vals, jnp.zeros(pad_to - vals.shape[0], jnp.uint32)]
+    )
+    return hk_p, v_p
 
 
 def _merge_sort_side(hk, vals, pad_to, num_keys: int = 1):
@@ -141,11 +162,7 @@ def _merge_sort_side(hk, vals, pad_to, num_keys: int = 1):
     exact max-val relies on a run's maximum sitting at its end.  The
     probe side never needs it.
     """
-    hk_p = jnp.concatenate([hk, jnp.zeros(pad_to - hk.shape[0], jnp.uint32)])
-    v_p = jnp.concatenate(
-        [vals, jnp.zeros(pad_to - vals.shape[0], jnp.uint32)]
-    )
-    return jax.lax.sort((hk_p, v_p), num_keys=num_keys)
+    return jax.lax.sort(_pad_pair(hk, vals, pad_to), num_keys=num_keys)
 
 
 def _merge_sort_probe(hk, vals, pad_to, chunks: int):
@@ -156,10 +173,7 @@ def _merge_sort_probe(hk, vals, pad_to, chunks: int):
     and _merge_params already widened them to the chunk-local span."""
     if chunks <= 1:
         return _merge_sort_side(hk, vals, pad_to)
-    hk_p = jnp.concatenate([hk, jnp.zeros(pad_to - hk.shape[0], jnp.uint32)])
-    v_p = jnp.concatenate(
-        [vals, jnp.zeros(pad_to - vals.shape[0], jnp.uint32)]
-    )
+    hk_p, v_p = _pad_pair(hk, vals, pad_to)
     hk2, v2 = jax.lax.sort(
         (hk_p.reshape(chunks, -1), v_p.reshape(chunks, -1)),
         dimension=1, num_keys=1,
@@ -204,6 +218,11 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
 # 1280=0.57s; gather 1280=0.29s but PATHOLOGICAL at 640 (1.09s --
 # Mosaic's tiny-lane-dim transpose path).  Gather from 10 chunks up.
 GATHER_MIN_CHUNKS = 10
+# scoped-vmem compile budget in ROW-CHUNKS: the unrolled (row x chunk)
+# loop's footprint scales with both; 24 rows x 121 chunks (tile 3072)
+# is the measured boundary (engine/npj.py models its window ceiling
+# from the same budget)
+GATHER_ROWCHUNK_BUDGET = 24 * 121
 # VMEM ceiling: the unrolled row loop keeps per-row kernel temporaries
 # live on Mosaic's scoped-vmem stack; at tile 3072 (24 rows) a
 # 126-chunk window FAILED to compile (21.4M > 16M scoped vmem) while
@@ -473,13 +492,18 @@ def window_from_span(span: int) -> int:
     return -(-int(max(span, 128) * 1.25 + 384) // 128) * 128
 
 
-def replan_window_cap() -> int:
-    """Largest re-planned window (slots) any driver may compile: the
-    session-proven 118-chunk geometry (15104).  121 chunks sits exactly
-    at the measured scoped-vmem compile boundary (see _merge_params) --
-    one chunk past the cap either crashes the remote compile helper or
-    silently drops to the dense sweep."""
-    return (GATHER_MAX_CHUNKS - 3) * 128
+def replan_window_cap(tile: int = 3072) -> int:
+    """Largest auto/re-planned window (slots) any driver may compile at
+    this tile.  The scoped-vmem compile budget is rows x chunks
+    (GATHER_ROWCHUNK_BUDGET = 24 x 121, measured at tile 3072); the
+    gather kernel's lane cap bounds chunks at GATHER_MAX_CHUNKS
+    regardless of tile.  Both caps take a 3-chunk safety step below the
+    boundary (121 chunks sat exactly at the measured crash line) --
+    one chunk past either cap crashes the remote compile helper or
+    silently drops to the pathological dense sweep."""
+    rows = max(1, tile // 128)
+    chunks = min(GATHER_MAX_CHUNKS, GATHER_ROWCHUNK_BUDGET // rows)
+    return max(3, chunks - 3) * 128
 
 
 def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
@@ -498,18 +522,23 @@ def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
     the cap (one chunk past it silently drops to the dense sweep,
     pathological at these widths).  Shared by the single-chip `join` and
     the distributed `cpra_join` re-planners."""
-    GATHER_CAP = replan_window_cap()
+    GATHER_CAP = replan_window_cap(plan.tile)
     span = max(int(span), 128)
     C = max(1, plan.probe_chunks)
     want = window_from_span(span)
-    if C > 1 and want > GATHER_CAP:
+    if want > GATHER_CAP:
+        # spans scale with tile * C at ANY C (at C == 1 a tile still
+        # covers tile/cap of the key range), so the tile shrink applies
+        # to unchunked plans too -- an uncapped C == 1 window would
+        # compile past the scoped-vmem ceiling
         product = plan.tile * C
         # largest tile*C whose padded span stays strictly under the cap
         prod_fit = int(product * (GATHER_CAP - 511) / (1.25 * span))
         tile_new = max(128, prod_fit // C // 128 * 128)
         if tile_new >= 512:
             span_est = span * tile_new * C / product
-            want = min(GATHER_CAP, window_from_span(span_est))
+            want = min(replan_window_cap(tile_new),
+                       window_from_span(span_est))
             return dataclasses.replace(plan, tile=tile_new, window=want)
         newC = max(1, int(C * (GATHER_CAP - 511) / (1.25 * span)))
         want = min(GATHER_CAP, window_from_span(span * newC / C))
@@ -552,6 +581,20 @@ def join(
                 raise RuntimeError(
                     "probe window overflow persists after re-planning"
                 )
+    else:
+        # padded/radix overflow cannot be window-re-planned and must not
+        # pass silently through this convenience wrapper: dropped tuples
+        # are corruption, not a result (callers wanting the raw overflow
+        # VALUE use phj_join directly)
+        bc = np.asarray(res.build_counts)
+        over = (int(bc[-1]) != 0 if plan.partition_impl == "radix"
+                else bool((bc > plan.slots).any()))
+        if over:
+            raise RuntimeError(
+                "local join overflow on the padded path (table slots or "
+                "radix pass capacity exceeded): raise plan.slots or the "
+                "pass fanout -- window re-planning cannot fix this"
+            )
     return res, plan
 
 

@@ -299,12 +299,13 @@ def stream_join(
             # replan_from_span does.
             span = int(res.build_counts[1])
             window = max(window + 128, window_from_span(span))
-            if window > replan_window_cap():
+            if window > replan_window_cap(tile):
                 raise RuntimeError(
                     f"chunk {k}: measured span {span} needs a "
-                    f"{window}-slot window, past the {replan_window_cap()}"
-                    "-slot gather cap; the spill pins this geometry -- "
-                    "rerun with a smaller tile or chunk_rows (fresh "
+                    f"{window}-slot window, past the "
+                    f"{replan_window_cap(tile)}-slot gather cap at tile "
+                    f"{tile}; the spill pins this geometry -- rerun "
+                    "with a smaller tile or chunk_rows (fresh "
                     "spill_dir) so the span shrinks with the tile"
                 )
             plan = dataclasses.replace(plan, window=window)

@@ -601,23 +601,15 @@ def cpra_join(
     if n_chips == 1 and not skew:
         # degenerate mesh: the owner exchange is the identity -- skip the
         # bucket pack entirely (its static caps would 3x the memory).
-        # Merge-mode window overflow re-plans via the shared single-chip
-        # driver; padded/radix overflow (table slots or pass capacity,
-        # which re-planning cannot fix) raises with the same guidance as
-        # the mesh loop below -- never returned silently truncated.
+        # The single-chip driver re-plans merge windows and raises on
+        # padded/radix overflow (engine.phj.join) -- never returns a
+        # silently truncated result.
         from ..engine.phj import join as single_chip_join
 
-        res, plan = single_chip_join(
+        return single_chip_join(
             inner_keys, inner_vals, outer_keys, outer_vals, plan,
             window_retries=retries,
         )
-        if int(_engine_overflow(res, plan)) > 0:
-            raise RuntimeError(
-                "local join overflow on the padded path (table slots "
-                "or radix pass capacity exceeded): raise plan.slots or "
-                "the pass fanout -- window re-planning cannot fix this"
-            )
-        return res, plan
     # stage boundary: fail fast with a diagnosis instead of hanging in
     # the exchange collective if a mesh participant is gone
     from .distributed import require_live_mesh

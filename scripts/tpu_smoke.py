@@ -150,6 +150,29 @@ def main():
     checks += 1
     print("ok: npj sorted == chain", file=sys.stderr)
 
+    # 3b: heavy-hitter probe tiles with a bucket-colliding distinct key
+    # interleaved -- the dense kernel's constant-tile fast path must not
+    # hand the collider the hot key's matches.  Only the REAL Mosaic
+    # lowering has the fast path (the jnp oracle sweeps every row), so
+    # this belongs in the hardware battery.
+    from hash_join_codes_knl_tpu.utils.hashing import np_range_hash
+
+    h0n = np_range_hash(ik, nplan.factor, nplan.buckets)
+    ordn = np.argsort(h0n, kind="stable")
+    dupn = np.flatnonzero(np.diff(h0n[ordn]) == 0)
+    assert len(dupn), "no bucket collision in the build draw"
+    hot, col = ik[ordn[dupn[0]]], ik[ordn[dupn[0] + 1]]
+    okh = np.full(8 * nplan.tile, hot, np.uint32)
+    okh[nplan.tile // 2] = col  # inside the first hot tile
+    mvh, mch, _ = npj_join(ik, iv, okh, okh)
+    mvc, mcc, _ = npj_join(
+        ik, iv, okh, okh,
+        dataclasses.replace(nplan, probe_impl="chain", window=0))
+    assert np.array_equal(np.asarray(mch), np.asarray(mcc))
+    assert np.array_equal(np.asarray(mvh), np.asarray(mvc))
+    checks += 1
+    print("ok: npj const-tile collider", file=sys.stderr)
+
     # 4: duplicate-heavy build through re-planning + expansion
     dup = np.concatenate([ik[:1000]] * 40 + [ik]).astype(np.uint32)
     dv = rng.integers(0, 2**32, len(dup), dtype=np.uint32)

@@ -155,3 +155,70 @@ def test_npj_explicit_window_wider_than_table():
     got = multiset_digest(ok[m], ok[m], mv[m])
     want = multiset_digest(*join_oracle(ik, iv, ok, ok))
     assert got == want
+
+
+def test_npj_sorted_const_tile_bucket_collision(monkeypatch):
+    """A probe tile filled with ONE hot key plus a bucket-colliding
+    distinct key interleaved: the Pallas kernel's constant-tile fast
+    path (first == last -> broadcast row 0) must not hand the collider
+    the hot key's matches.  Probes are (h0, key)-sorted so first==last
+    still implies a one-key tile (regression: h0-only sorting let the
+    stable sort keep the collider INSIDE the run).  Runs the real
+    kernel in interpret mode -- the jnp oracle has no fast path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hash_join_codes_knl_tpu.engine import npj as npj_mod
+
+    rng = np.random.default_rng(5)
+    ik = np.unique(rng.integers(1, 2**32, 60_000, dtype=np.uint32))[:32768]
+    iv = (np.arange(len(ik), dtype=np.uint32) + 1) * np.uint32(7)
+    plan = plan_npj(len(ik))
+    h0 = np_range_hash(ik, plan.factor, plan.buckets)
+    order = np.argsort(h0, kind="stable")
+    dup = np.flatnonzero(np.diff(h0[order]) == 0)
+    assert len(dup), "need at least one bucket collision in the build"
+    a = ik[order[dup[0]]]
+    b = ik[order[dup[0] + 1]]
+    assert a != b and h0[order[dup[0]]] == h0[order[dup[0] + 1]]
+    ok = np.full(plan.tile, a, np.uint32)
+    ok[plan.tile // 2] = b  # stable h0-sort would leave b mid-run
+    tk, tv, ovf, max_disp = npj_build(jnp.asarray(ik), jnp.asarray(iv),
+                                      plan)
+    assert int(ovf) == 0
+    window = plan.auto_window(len(ok), disp=int(max_disp) + 128)
+    monkeypatch.setattr(npj_mod, "_on_tpu", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        mv, mc, wovf = npj_mod.npj_probe_sorted(
+            tk, tv, jnp.asarray(ok), plan, max_disp, window
+        )
+    assert int(wovf) == 0
+    mv, mc = np.asarray(mv), np.asarray(mc)
+    va = int(iv[ik == a][0])
+    vb = int(iv[ik == b][0])
+    i_b = plan.tile // 2
+    assert mc[i_b] == 1 and mv[i_b] == vb, "collider got the hot key's row"
+    assert mc[0] == 1 and mv[0] == va
+
+
+def test_npj_sorted_span_clamps_to_table_end():
+    """A long mid-table cluster (max_disp > margin, no build overflow)
+    probed near the last bucket: the required span clamps to the table
+    end, so a whole-table window is NOT flagged as overflow (regression:
+    hi + max_disp + 1 overshot `size` and npj_join raised on a join the
+    window fully covered)."""
+    plan = NpjPlan(buckets=1 << 14)  # margin 4096, size 20480
+    rng = np.random.default_rng(9)
+    pool = np.unique(rng.integers(1, 2**32, 400_000, dtype=np.uint32))
+    h0 = np_range_hash(pool, plan.factor, plan.buckets)
+    mid = pool[(h0 >= 2000) & (h0 < 2200)][:4500]  # one dense cluster
+    tail = pool[h0 == plan.buckets - 1][:2]        # keys at the last bucket
+    assert len(mid) == 4500 and len(tail) >= 1
+    ik = np.concatenate([mid, tail]).astype(np.uint32)
+    iv = (np.arange(len(ik), dtype=np.uint32) + 1)
+    tk, tv, ovf, max_disp = npj_build(jnp.asarray(ik), jnp.asarray(iv),
+                                      plan)
+    assert int(ovf) == 0
+    assert int(max_disp) > plan.margin  # the scenario's premise
+    ok = np.concatenate([tail, mid[:100]]).astype(np.uint32)
+    mv, mc, _ = npj_join(ik, iv, ok, ok, plan)
+    assert np.asarray(mc).min() == 1  # every probe found its row
