@@ -400,13 +400,12 @@ def _phj_join_padded(
     # null-key convention carries over unchanged.
     ihk = hashed_key(inner_keys, plan.factor)
     ohk = hashed_key(outer_keys, plan.factor)
-    shift = jnp.uint32(plan.skip_bits)
-    ipid = ((ihk << shift) >> (32 - plan.p_bits)).astype(jnp.int32)
-    ipid = jnp.where(ihk != 0, ipid, P)
+    from ..ops.partition import pids_from_hk
+
+    ipid = pids_from_hk(ihk, plan.p_bits, plan.skip_bits, null_pid=P)
     tk, tv, bcounts = build_table(ihk, inner_vals, ipid, P, plan.slots)
     # probe side: partition into the padded layout (K6/K7/K9 analog)
-    opid = ((ohk << shift) >> (32 - plan.p_bits)).astype(jnp.int32)
-    opid = jnp.where(ohk != 0, opid, P)
+    opid = pids_from_hk(ohk, plan.p_bits, plan.skip_bits, null_pid=P)
     pk, pv, offsets, _ = partition(ohk, outer_vals, opid, P, plan.tile)
     n_tiles = pk.shape[0] // plan.tile
     tpid = tile_pids(offsets, n_tiles, plan.tile)

@@ -51,14 +51,18 @@ def spill_partitions(directory: str, stage: str, hk, vals, counts,
     _write_u32(os.path.join(directory, f"{stage}_val.bin"), vals)
     sidecar = os.path.join(directory, f"{stage}.json")
     with open(sidecar, "w") as f:
+        # caller meta FIRST: the computed integrity fields must win a
+        # key collision (a caller's own 'counts'/'n' overwriting the
+        # real ones would corrupt or falsely reject every resume)
         json.dump(
             {
+                **(meta or {}),
                 "stage": stage,
                 "n": int(hk.shape[0]),
                 "partitions": int(counts.shape[0]),
                 "counts": counts.tolist(),
                 "checksum": u64sum(hk),
-                **(meta or {}),
+                "val_checksum": u64sum(vals),
             },
             f,
         )
@@ -68,8 +72,10 @@ def spill_partitions(directory: str, stage: str, hk, vals, counts,
 def resume_partitions(directory: str, stage: str):
     """Load a spilled intermediate; returns (hk, vals, counts, meta).
 
-    The key checksum is re-verified on load (write.cpp:1635-1645
-    semantics): silent on-disk corruption is rejected, not joined.
+    BOTH column checksums are re-verified on load (write.cpp:1635-1645
+    semantics): silent on-disk corruption is rejected, not joined.  A
+    sidecar from before the val checksum existed is rejected the same
+    way (recompute is always sound -- stages are pure functions).
     """
     with open(os.path.join(directory, f"{stage}.json")) as f:
         meta = json.load(f)
@@ -79,6 +85,12 @@ def resume_partitions(directory: str, stage: str):
     if got != meta["checksum"]:
         raise ValueError(
             f"spill {stage}: checksum mismatch ({got} != {meta['checksum']})"
+        )
+    got_v = u64sum(vals)
+    if got_v != meta.get("val_checksum"):
+        raise ValueError(
+            f"spill {stage}: val checksum mismatch "
+            f"({got_v} != {meta.get('val_checksum')})"
         )
     counts = np.asarray(meta["counts"], dtype=np.int32)
     return hk, vals, counts, meta

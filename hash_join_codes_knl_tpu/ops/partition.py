@@ -33,14 +33,29 @@ from ..utils.hashing import hashed_key
 PAD_KEY = jnp.uint32(0)  # generator never emits key 0 (write.cpp:1448-1451)
 
 
-def compute_pids(
-    keys: jnp.ndarray, factor: int, p_bits: int, skip_bits: int = 0
+def pids_from_hk(
+    hk: jnp.ndarray, p_bits: int, skip_bits: int = 0,
+    null_pid: int | None = None,
 ) -> jnp.ndarray:
-    """Partition id = p_bits of uint32(key*factor) starting skip_bits below
-    the top.  skip_bits > 0 is used by distributed stages whose owner routing
-    already consumed the top bits (parallel/cpra.py)."""
-    hk = hashed_key(keys, factor) << jnp.uint32(skip_bits)
-    return (hk >> (32 - p_bits)).astype(jnp.int32)
+    """Partition id from PRE-SCRAMBLED keys: p_bits starting skip_bits
+    below the top.  skip_bits > 0 is used by distributed stages whose
+    owner routing already consumed the top bits (parallel/cpra.py).
+    null_pid (usually P, one past the real range) routes the reserved
+    null key hk == 0 out of partition 0 -- pass it whenever pads can be
+    present (key 0 is the null key everywhere, CLAUDE.md)."""
+    pid = ((hk << jnp.uint32(skip_bits)) >> (32 - p_bits)).astype(jnp.int32)
+    if null_pid is not None:
+        pid = jnp.where(hk != 0, pid, null_pid)
+    return pid
+
+
+def compute_pids(
+    keys: jnp.ndarray, factor: int, p_bits: int, skip_bits: int = 0,
+    null_pid: int | None = None,
+) -> jnp.ndarray:
+    """pids_from_hk over raw keys (scrambles with `factor` first)."""
+    return pids_from_hk(hashed_key(keys, factor), p_bits, skip_bits,
+                        null_pid)
 
 
 PROBE_TILE_GROUP = 8  # probe scan batches this many tiles per step

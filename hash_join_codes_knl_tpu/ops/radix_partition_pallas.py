@@ -171,6 +171,14 @@ def radix_partition_pallas(
     """
     F = 1 << bits
     n = hk.shape[0]
+    if n == 0:
+        # an empty input means an empty grid: the kernel never runs, and
+        # the overflow output (no aliased init) would come back as
+        # uninitialized memory -- a caller's cap-retry loop could spin
+        # on phantom overflow.  Static-shape early exit instead.
+        capz = -(-max(cap, 128) // 128) * 128
+        z = jnp.zeros(F * capz, jnp.uint32)
+        return z, z, jnp.zeros(F, jnp.int32), jnp.zeros((), jnp.int32)
     tile = min(tile, max(128 * F, -(-n // 128) * 128))
     n_pad = -(-n // tile) * tile
     n_tiles = n_pad // tile
@@ -275,14 +283,12 @@ def radix_partition_pallas(
         jnp.zeros((F * cap_rows, 128), jnp.uint32),
         jnp.zeros((F * cap_rows, 128), jnp.uint32),
     )
-    # un-rotate the keys back to hk
+    # un-rotate the keys back to hk (rotation is a bijection fixing 0,
+    # so null pads stay null with no special case)
     flat_k = out_hk.reshape(-1)
     if skip_bits:
         sk = jnp.uint32(skip_bits)
-        flat_k = jnp.where(
-            flat_k == 0, 0,
-            (flat_k >> sk) | (flat_k << (jnp.uint32(32) - sk)),
-        )
+        flat_k = (flat_k >> sk) | (flat_k << (jnp.uint32(32) - sk))
     return flat_k, out_val.reshape(-1), counts, ovf[0]
 
 

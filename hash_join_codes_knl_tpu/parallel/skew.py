@@ -34,25 +34,25 @@ def nominate_heavy(keys: jnp.ndarray, sample: int, k_max: int,
     """Top local keys by sampled frequency; returns (k_max,) key slots
     (PAD_KEY padded).  A key qualifies if it covers > heavy_frac of the
     sample (>= 2 hits)."""
+    from ..ops.partition import _sorted_rank_and_starts
+
     s = keys[: min(sample, keys.shape[0])]
     sk = jax.lax.sort((s,), num_keys=1)[0]
     n = sk.shape[0]
-    newrun = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
-    j = jnp.arange(n, dtype=jnp.int32)
-    run_start = jax.lax.cummax(jnp.where(newrun, j, 0))
-    # run length known at the run's LAST element
+    # shared sorted-run rank machinery (ops/partition.py): rank within
+    # the run; the run LENGTH is known at the run's last element
+    j, _, _, rank = _sorted_rank_and_starts(sk)
     lastrun = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones(1, bool)])
-    run_len = j - run_start + 1
+    run_len = rank + 1
     thr = max(2, int(heavy_frac * n))
     cand = lastrun & (run_len >= thr) & (sk != PAD_KEY)
-    # pack candidates: sort by (not cand, -run_len) and take k_max
+    # pack candidates: sort by (not cand, -run_len) and take k_max; the
+    # sorted rank keys ride out of the SAME sort (no second pass)
     rank_key = jnp.where(cand, jnp.uint32(0x7FFFFFFF) - run_len.astype(
         jnp.uint32), jnp.uint32(0xFFFFFFFF))
-    _, packed = jax.lax.sort((rank_key, sk), num_keys=1, is_stable=True)
+    srk, packed = jax.lax.sort((rank_key, sk), num_keys=1, is_stable=True)
     slots = packed[:k_max]
-    keep = jax.lax.sort((rank_key,), num_keys=1)[0][:k_max] != jnp.uint32(
-        0xFFFFFFFF
-    )
+    keep = srk[:k_max] != jnp.uint32(0xFFFFFFFF)
     return jnp.where(keep, slots, PAD_KEY)
 
 

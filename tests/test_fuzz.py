@@ -280,6 +280,12 @@ def test_fuzz_column_join_modes_vs_oracle(seed):
     ok = np.where(rng.random(no) < rng.random(), hits, misses).astype(
         np.uint32
     )
+    if seed % 2:
+        # key 0 is the ENGINE's reserved null but a legal key at this
+        # layer (routed through fold+verify): half the draws plant it
+        # on both sides so the remap path stays fuzzed
+        ik[: max(1, ni // 50)] = 0
+        ok[: max(1, no // 50)] = 0
     inner_cols = {"iv": np.arange(ni, dtype=np.int64) + 1}
     outer_cols = {"ov": np.arange(no, dtype=np.int64) + 1}
 

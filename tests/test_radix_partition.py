@@ -101,3 +101,18 @@ def test_two_pass_composition():
             rv2 = v2[p2 * cap2 : (p2 + 1) * cap2]
             m = rk2 != 0
             assert _multiset(rk2[m], rv2[m]) == _multiset(wk, wv)
+
+
+def test_empty_input_clean_overflow():
+    """An empty chunk must report overflow == 0 deterministically
+    (regression: the empty grid never ran the kernel, so the overflow
+    output returned uninitialized memory and cap-retry loops could spin
+    on phantom overflow)."""
+    out_k, out_v, counts, ovf = radix_partition_pallas(
+        jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.uint32), 3,
+        interpret=True,
+    )
+    assert int(ovf) == 0
+    assert int(np.asarray(counts).sum()) == 0
+    assert (np.asarray(out_k) == 0).all()
+    assert len(out_k) % (8 * 128) == 0
