@@ -202,10 +202,12 @@ def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
     rows_total = size // 128
     tile = plan.tile
     cap = -(-n // tile) * tile
-    # an explicit window wider than the table would clip wrow NEGATIVE
+    # round an explicit window UP to the kernel's 128-slot chunk quantum
+    # (flooring would sweep fewer slots than the overflow check budgets),
+    # and clamp to the table: wider would clip wrow NEGATIVE
     # (out-of-bounds HBM DMA on TPU); whole-table coverage is the most a
-    # window can mean, so clamp statically (both values are trace-time)
-    window = min(window, rows_total * 128)
+    # window can mean.  Both values are trace-time.
+    window = min(-(-window // 128) * 128, rows_total * 128)
     w_chunks = window // 128
     h0 = range_hash(probe_keys, plan.factor, plan.buckets).astype(jnp.int32)
     # pads carry key 0 (inert in the kernel); park them at the last bucket

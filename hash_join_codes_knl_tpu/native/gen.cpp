@@ -63,10 +63,14 @@ inline uint64_t mulhi_pick(uint32_t r, uint64_t range) {
 // Distinct nonzero keys by rejection sampling; acceptance is set-membership
 // only, realized with a power-of-2 open-addressing table (the table geometry
 // does not affect the accepted key sequence).
-void unique_fill(MT32 &gen, uint32_t *out, uint64_t count) {
+// Returns false on allocation failure (multi-hundred-million-row tables
+// are this library's normal operating point; a NULL deref here would
+// crash instead of surfacing rc=2 like the pool malloc does).
+bool unique_fill(MT32 &gen, uint32_t *out, uint64_t count) {
   uint64_t buckets = 64;
   while (buckets < count * 2) buckets <<= 1;
   uint32_t *table = (uint32_t *)calloc(buckets, sizeof(uint32_t));
+  if (!table) return false;
   uint64_t mask = buckets - 1;
   uint64_t i = 0;
   while (i != count) {
@@ -83,6 +87,7 @@ void unique_fill(MT32 &gen, uint32_t *out, uint64_t count) {
     out[i++] = key;
   }
   free(table);
+  return true;
 }
 
 // write.cpp:1429-1440 semantics, draw-for-draw.
@@ -108,6 +113,14 @@ int hjk_generate(uint32_t seed, uint64_t inner_tuples, uint64_t outer_tuples,
                  double selc, double zipf, int mode, uint32_t f_inner,
                  uint32_t f_outer, uint32_t *inner_keys, uint32_t *inner_vals,
                  uint32_t *outer_keys, uint32_t *outer_vals, uint64_t *meta) {
+  // validate up front: degenerate counts underflow the output index
+  // arithmetic (outer_tuples-1 wraps), selc outside [0,1] walks
+  // outer_pool off the heap block, and a negative zipf overflows the
+  // 2^40-scaled weights (double->u64 casts past 2^64 are UB).  The
+  // Python twin rejects the same inputs; rc=0 must mean a valid pair.
+  if (inner_tuples == 0 || outer_tuples == 0) return 1;
+  if (!(selc >= 0.0 && selc <= 1.0)) return 1;
+  if (mode == 2 && !(zipf >= 0.0)) return 1;
   uint64_t inner_distinct =
       inner_tuples < outer_tuples ? inner_tuples : outer_tuples;
   uint64_t outer_distinct = inner_distinct;
@@ -117,7 +130,7 @@ int hjk_generate(uint32_t seed, uint64_t inner_tuples, uint64_t outer_tuples,
   MT32 gen(seed);
   uint32_t *pool = (uint32_t *)malloc(distinct * sizeof(uint32_t));
   if (!pool) return 2;
-  unique_fill(gen, pool, distinct);
+  if (!unique_fill(gen, pool, distinct)) { free(pool); return 2; }
 
   // inner keys: distinct slice then uniform repeats
   memcpy(inner_keys, pool, inner_distinct * sizeof(uint32_t));

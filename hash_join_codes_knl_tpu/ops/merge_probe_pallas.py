@@ -55,18 +55,26 @@ def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
         c = i // 128
         last_chunk = (n_tiles - 1) // 128
 
+        @pl.when(i == 0)
+        def _():
+            # only the FIRST boundary needs the current chunk: at every
+            # later boundary 128k, chunk k is already resident in
+            # wbuf[k%2] (prefetched as the 'next' chunk at boundary
+            # 128(k-1)) -- re-copying it added a synchronous DMA wait on
+            # the critical path once per 128 tiles
+            d0 = pltpu.make_async_copy(
+                wrow_hbm.at[0], wbuf.at[0], wsems.at[0]
+            )
+            d0.start()
+            d0.wait()
+
         @pl.when(jax.lax.rem(i, 128) == 0)
         def _():
             c1 = jnp.minimum(c + 1, last_chunk)
-            d0 = pltpu.make_async_copy(
-                wrow_hbm.at[c], wbuf.at[jax.lax.rem(c, 2)], wsems.at[0]
-            )
             d1 = pltpu.make_async_copy(
                 wrow_hbm.at[c1], wbuf.at[jax.lax.rem(c + 1, 2)], wsems.at[1]
             )
-            d0.start()
             d1.start()
-            d0.wait()
             d1.wait()
 
         def start(slot_idx, row):
@@ -138,6 +146,10 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
     cap = probe_hk.shape[0]
     n_tiles = cap // tile
     r_rows = tile // 128
+    # a non-multiple window would silently FLOOR here while the caller's
+    # overflow check budgeted the full value -- dropped matches with
+    # overflow == 0 (the gather kernel asserts the same contract)
+    assert window % 128 == 0, window
     w_chunks = window // 128
     probe3d = probe_hk.reshape(n_tiles, r_rows, 128)
     n_chunks = -(-n_tiles // 128)

@@ -26,6 +26,15 @@ def generate(
     (write.cpp:1482-1646); 'uniform'/'zipf' are the intended well-defined
     semantics for outer > inner and skewed workloads (see relgen/_pygen.py).
     """
+    # one validation for BOTH engines (the native twin returns rc=1 for
+    # the same inputs; the Python path would die on an IndexError deep
+    # in the walk): degenerate counts, selc outside [0,1], negative zipf
+    if inner_tuples <= 0 or outer_tuples <= 0:
+        raise ValueError("inner_tuples and outer_tuples must be positive")
+    if not 0.0 <= selc <= 1.0:
+        raise ValueError(f"selc must be in [0, 1], got {selc}")
+    if mode == "zipf" and zipf < 0.0:
+        raise ValueError(f"zipf exponent must be >= 0, got {zipf}")
     if factors is None:
         factors = _pygen.default_factors(seed)
     if prefer_native and native.available():

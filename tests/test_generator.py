@@ -173,3 +173,27 @@ def test_generator_golden_zipf_frozen():
         2061454137, 2374502568, 110703502, 2374502568,
     ]
     assert meta["outer_checksum"] == 18200858471115
+
+
+def test_generate_rejects_invalid_arguments():
+    """Both engines reject degenerate counts, selc outside [0, 1], and
+    negative zipf exponents up front (the native twin previously walked
+    off its heap block with rc=0 for the same inputs)."""
+    import pytest
+
+    from hash_join_codes_knl_tpu import native
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+
+    for kw in (dict(inner_tuples=0, outer_tuples=10),
+               dict(inner_tuples=10, outer_tuples=0),
+               dict(inner_tuples=10, outer_tuples=10, selc=1.5),
+               dict(inner_tuples=10, outer_tuples=10, selc=-0.1),
+               dict(inner_tuples=10, outer_tuples=40, zipf=-1.0,
+                    mode="zipf")):
+        with pytest.raises(ValueError):
+            generate(7, **kw)
+    if native.available():
+        with pytest.raises(RuntimeError):
+            native.generate_native(7, 10, 0, 1.0, 0.0, "uniform", 3, 5)
+        with pytest.raises(RuntimeError):
+            native.generate_native(7, 10, 10, 1.5, 0.0, "uniform", 3, 5)

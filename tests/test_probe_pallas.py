@@ -246,3 +246,40 @@ def test_merge_probe_gather_boundary_and_pads():
     ohk = np.sort(ohk)
     mc = _gather_case(bhk, bval, ohk, tile=1024, window=896)
     assert mc[np.sort(ohk) == 0].sum() == 0 if (ohk == 0).any() else True
+
+
+def test_window_probe_smem_chunk_boundaries():
+    """More than 256 probe tiles: the kernel stages its per-tile window
+    rows into SMEM 128 tiles at a time -- this crosses >= 2 staging
+    boundaries and checks the prefetch handoff (only the FIRST boundary
+    loads the current chunk; later boundaries rely on the previous
+    boundary's prefetch).  Interpret mode vs the jnp oracle."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hash_join_codes_knl_tpu.engine.phj import _merge_windows
+    from hash_join_codes_knl_tpu.ops.merge_probe_pallas import (
+        merge_probe_jnp,
+        merge_probe_pallas,
+    )
+
+    rng = np.random.default_rng(35)
+    n_build = 64 * 128
+    bhk = np.sort(rng.integers(1, 2**32, n_build, dtype=np.uint32))
+    bval = rng.integers(0, 2**32, n_build, dtype=np.uint32)
+    tile, n_tiles = 128, 300  # 3 SMEM staging chunks
+    cap = tile * n_tiles
+    ohk = np.sort(bhk[rng.integers(0, n_build, cap)].astype(np.uint32))
+    bhk2 = jnp.asarray(bhk).reshape(-1, 128)
+    bval2 = jnp.asarray(bval).reshape(-1, 128)
+    window = 768
+    wrow, stats = _merge_windows(jnp.asarray(bhk), jnp.asarray(ohk), tile,
+                                 window, n_build // 128)
+    assert int(stats[0]) == 0
+    mv0, mc0 = merge_probe_jnp(jnp.asarray(ohk), bhk2, bval2, wrow, tile,
+                               window)
+    with pltpu.force_tpu_interpret_mode():
+        mv1, mc1 = merge_probe_pallas(jnp.asarray(ohk), bhk2, bval2, wrow,
+                                      tile, window)
+    np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0))
+    np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0))
