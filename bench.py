@@ -82,7 +82,7 @@ def main():
     from hash_join_codes_knl_tpu.utils.roofline import hbm_peak_bytes_per_s
 
     floor_bytes = 8 * (inner_n + outer_n) + 16 * outer_n
-    pct_floor = 100 * floor_bytes / dt / hbm_peak_bytes_per_s()
+    pct_floor = 100 * floor_bytes / dt / hbm_peak_bytes_per_s()[0]
 
     # achievable floor for a SORT-BASED engine on this chip (PERF_NOTES.md
     # "Roofline honesty"): the absolute stream floor above is unreachable

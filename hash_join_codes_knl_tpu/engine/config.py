@@ -117,8 +117,13 @@ def plan_join(inner_n: int, outer_n: int, tile: int | None = None,
                 cands = tuple(
                     C for C in DEFAULT_CANDIDATES if C <= c_win
                 )
+                # pass the ACTUAL tile: the tuner times quantum = tile*C
+                # batched sorts and caches per tile -- timing 3072-row
+                # geometry for a tile-1024 plan would cache a verdict
+                # for sorts the plan never runs
                 probe_chunks = tuned_probe_chunks(
-                    outer_n, default=min(64, c_win), candidates=cands
+                    outer_n, tile=t, default=min(64, c_win),
+                    candidates=cands
                 )
             else:
                 probe_chunks = c_win

@@ -61,12 +61,18 @@ def multiset_digest(
     independent sum) -- equal digests <=> equal row multisets w.h.p.
 
     Used to verify 10^8+-row outputs without materializing sorted copies.
+
+    The row hash CHAINS the mix per column.  The earlier single-xor of
+    shifted columns collided deterministically: u32 columns shifted by
+    21/42 overlap (key bits 21-31 alias val bits 0-10) and tab bits
+    22-31 fell off the u64 top, so distinct rows like (0,1,7) and
+    (2097152,0,7) -- or tabs differing only in high bits -- hashed
+    equal, and a column-bit-swapping engine bug would verify clean.
+    Chaining makes every input bit pass through a full finalizer before
+    the next column is folded in.
     """
-    h = _mix64(
-        keys.astype(_U64)
-        ^ (vals.astype(_U64) << _U64(21))
-        ^ (tabs.astype(_U64) << _U64(42))
-    )
+    h = _mix64(_mix64(_mix64(keys.astype(_U64)) ^ vals.astype(_U64))
+               ^ tabs.astype(_U64))
     s1 = int(np.sum(h, dtype=_U64))
     s2 = int(np.sum(_mix64(h + _U64(0x9E3779B97F4A7C15)), dtype=_U64))
     return len(keys), s1, s2

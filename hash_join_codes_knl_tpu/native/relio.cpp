@@ -12,6 +12,7 @@
 // portable fallback (relation.py).
 
 #include <algorithm>
+#include <cerrno>
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
@@ -61,6 +62,7 @@ int hjk_read_u32(const char* path, uint32_t* dst, uint64_t n, int threads) {
     uint64_t done = 0;
     while (done < len) {
       ssize_t r = pread(fd, p + done, len - done, off + done);
+      if (r < 0 && errno == EINTR) continue;  // signal mid-read: retry
       if (r <= 0) return -2;
       done += (uint64_t)r;
     }
@@ -85,6 +87,7 @@ int hjk_write_u32(const char* path, const uint32_t* src, uint64_t n,
     uint64_t done = 0;
     while (done < len) {
       ssize_t w = pwrite(fd, p + done, len - done, off + done);
+      if (w < 0 && errno == EINTR) continue;  // signal mid-write: retry
       if (w <= 0) return -3;
       done += (uint64_t)w;
     }

@@ -21,16 +21,32 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+import os
+
+
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Bring up the multi-host runtime.  No-op on a single host; on pods,
-    mirrors jax.distributed.initialize (env-driven when args are None)."""
+    """Bring up the multi-host runtime.
+
+    Explicit args mirror jax.distributed.initialize.  With args None,
+    the ENV-DRIVEN pod path engages: if the standard coordination
+    variables are present (jax.distributed's own auto-detect inputs),
+    the no-arg initialize() runs; otherwise this is a single-host no-op.
+    Without the env check the documented pod bring-up was unreachable
+    and every host silently built a local-only mesh."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    if num_processes is None and any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "JAX_NUM_PROCESSES")
+    ):
+        jax.distributed.initialize(coordinator_address=coordinator)
 
 
 def data_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -46,6 +62,23 @@ def data_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     return jax.make_mesh((len(devs),), (axis,), devices=devs)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _heartbeat_fn(mesh: Mesh, axis: str):
+    """Compiled heartbeat psum, cached per (mesh, axis): a fresh
+    jit(shard_map(closure)) per call would retrace + (remote-)recompile
+    at EVERY stage boundary -- seconds of overhead per guard on a
+    tunneled backend, eating the timeout budget it protects."""
+    def beat(x):
+        return jax.lax.psum(x, axis)
+
+    return jax.jit(
+        jax.shard_map(beat, mesh=mesh, in_specs=P(axis), out_specs=P()),
+    )
+
+
 def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x",
                    _beat_fn=None) -> bool:
     """All-hosts heartbeat: one tiny psum over the mesh with a timeout.
@@ -59,13 +92,7 @@ def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x",
     substitutes the collective (e.g. one that hangs, to exercise the
     timeout path)."""
     n = mesh.shape[axis]
-
-    def beat(x):
-        return jax.lax.psum(x, axis)
-
-    fn = _beat_fn or jax.jit(
-        jax.shard_map(beat, mesh=mesh, in_specs=P(axis), out_specs=P()),
-    )
+    fn = _beat_fn or _heartbeat_fn(mesh, axis)
     x = jnp.ones(n, jnp.int32)
     result: list[bool] = []
 

@@ -48,6 +48,12 @@ def np_hash_ratio(
     monotone functions of each other, which concentrates all traffic on the
     edge chips of each half and idles the rest.
     """
+    if partitions % 2:
+        raise ValueError(
+            f"tier hash needs an even partition count, got {partitions}: "
+            "both tiers map into [0, 2*(P//2)), so an odd P would idle "
+            "the last partition silently"
+        )
     if factor2 is None:
         factor2 = DEFAULT_FACTOR2
     cut = np.uint32(int((1.0 - ratio) * 100))
@@ -121,6 +127,12 @@ def hash_ratio(keys: jnp.ndarray, factor, partitions: int,
     the reference) -- see np_hash_ratio for why one scramble cannot feed
     both levels.
     """
+    if partitions % 2:
+        raise ValueError(
+            f"tier hash needs an even partition count, got {partitions}: "
+            "both tiers map into [0, 2*(P//2)), so an odd P would idle "
+            "the last partition silently"
+        )
     if factor2 is None:
         factor2 = DEFAULT_FACTOR2
     cut = jnp.uint32(int((1.0 - ratio) * 100))

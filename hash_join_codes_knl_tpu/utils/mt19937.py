@@ -19,8 +19,10 @@ from __future__ import annotations
 
 import numpy as np
 
-# All arithmetic here is modular by design; numpy overflow warnings are noise.
-np.seterr(over="ignore")
+# All arithmetic here is modular by design, so overflow warnings are
+# noise -- but suppression must stay LOCAL (np.errstate around the
+# scalar seeding loops): a module-level np.seterr would silently
+# disable overflow diagnostics for the whole embedding process.
 
 _U32 = np.uint32
 _U64 = np.uint64
@@ -41,8 +43,9 @@ class MT19937:
         n = np.empty(_N32, dtype=_U32)
         n[0] = _U32(seed & 0xFFFFFFFF)
         # npj.cpp:140-142 -- note: no "+ i" term.
-        for i in range(_N32 - 1):
-            n[i + 1] = _U32(0x6C078965) * (n[i] ^ (n[i] >> _U32(30)))
+        with np.errstate(over="ignore"):
+            for i in range(_N32 - 1):
+                n[i + 1] = _U32(0x6C078965) * (n[i] ^ (n[i] >> _U32(30)))
         self._state = n
         self._buf = np.empty(0, dtype=_U32)
         self._pos = 0
@@ -108,10 +111,11 @@ class MT19937_64:
     def __init__(self, seed: int):
         n = np.empty(_N64, dtype=_U64)
         n[0] = _U64(seed & 0xFFFFFFFFFFFFFFFF)
-        for i in range(_N64 - 1):
-            n[i + 1] = _U64(6364136223846793005) * (
-                n[i] ^ (n[i] >> _U64(62))
-            ) + _U64(i + 1)
+        with np.errstate(over="ignore"):
+            for i in range(_N64 - 1):
+                n[i + 1] = _U64(6364136223846793005) * (
+                    n[i] ^ (n[i] >> _U64(62))
+                ) + _U64(i + 1)
         self._state = n
         self._buf = np.empty(0, dtype=_U64)
         self._pos = 0

@@ -34,16 +34,19 @@ _HBM_PEAK = {
 _CPU_FALLBACK = 50e9
 
 
-def hbm_peak_bytes_per_s() -> float:
-    """Peak HBM bandwidth of device 0 (CPU gets a nominal DDR figure)."""
+def hbm_peak_bytes_per_s() -> tuple[float, str]:
+    """(peak HBM bandwidth of device 0, the matched table entry).  An
+    unrecognized device_kind falls back to the v5e figure with an
+    'assumed:' label so the report shows the peak is a guess rather
+    than silently mislabeling fractions on new/renamed chips."""
     dev = jax.devices()[0]
     if dev.platform == "cpu":
-        return _CPU_FALLBACK
+        return _CPU_FALLBACK, "cpu (nominal DDR)"
     kind = getattr(dev, "device_kind", "")
     for prefix in sorted(_HBM_PEAK, key=len, reverse=True):
         if kind.startswith(prefix):
-            return _HBM_PEAK[prefix]
-    return _HBM_PEAK["TPU v5 lite"]
+            return _HBM_PEAK[prefix], prefix
+    return _HBM_PEAK["TPU v5 lite"], f"assumed: v5e peak for {kind!r}"
 
 
 def merge_phj_traffic(ni: int, no: int, tile: int, window: int) -> dict:
@@ -60,8 +63,9 @@ def merge_phj_traffic(ni: int, no: int, tile: int, window: int) -> dict:
 
 def roofline_report(phase_seconds: dict, traffic: dict) -> dict:
     """Achieved bytes/s and roofline fraction per phase + overall."""
-    peak = hbm_peak_bytes_per_s()
-    out = {"hbm_peak_gbps": round(peak / 1e9, 1)}
+    peak, matched = hbm_peak_bytes_per_s()
+    out = {"hbm_peak_gbps": round(peak / 1e9, 1),
+           "hbm_peak_source": matched}
     tot_b = tot_s = 0.0
     for phase, sec in phase_seconds.items():
         b = traffic.get(phase)

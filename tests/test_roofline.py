@@ -8,7 +8,9 @@ from hash_join_codes_knl_tpu.utils.roofline import (
 
 
 def test_peak_lookup_runs_on_cpu():
-    assert hbm_peak_bytes_per_s() > 0
+    peak, matched = hbm_peak_bytes_per_s()
+    assert peak > 0
+    assert matched  # the report labels which table entry (or guess) applied
 
 
 def test_traffic_model_scales_with_relations():
