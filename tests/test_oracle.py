@@ -68,3 +68,15 @@ def test_oracle_cardinality_matches_formula_on_generated_data():
             assert len(k) == want
         else:
             assert abs(len(k) - want) < 0.15 * want
+
+
+def test_digest_distinguishes_column_aliasing():
+    """Rows that collided under the old shifted-xor row hash (key bits
+    21-31 aliasing val bits 0-10; tab bits 22-31 falling off the u64
+    top) must digest apart under the chained per-column mix."""
+    d = lambda k, v, t: multiset_digest(
+        np.array([k], np.uint32), np.array([v], np.uint32),
+        np.array([t], np.uint32))
+    assert d(0, 1, 7) != d(2097152, 0, 7)          # key<->val bit alias
+    assert d(5, 6, 0) != d(5, 6, 1 << 22)          # tab high bits
+    assert d(1, 2, 3) == d(1, 2, 3)                # determinism
