@@ -300,6 +300,30 @@ def _make_loader(spill_dir, side_state, reused, compute_side):
     return load_side
 
 
+def _host_partition_fragments(hk: np.ndarray, vals: np.ndarray,
+                              f_bits: int):
+    """Exact host-side radix split of one chunk's SCRAMBLED keys -- the
+    skew fallback.  The device pass bounds each (tile, partition) run at
+    ~4x the mean (its VMEM staging budget), so a chunk dominated by one
+    hot key overflows at ANY region capacity: cap-doubling retries can
+    never converge.  Host argsort has no run bound and phase-1 chunks
+    are host-sized anyway; the partition files' content (a multiset)
+    is identical either way.  Null keys (hk == 0, incl. tail pads) are
+    dropped exactly as the pass drops them.  Returns ([(frag_hk,
+    frag_val)] per partition, counts)."""
+    live = hk != 0
+    hk, vals = hk[live], vals[live]
+    pid = (hk >> np.uint32(32 - f_bits)).astype(np.int64)
+    order = np.argsort(pid, kind="stable")
+    hk, vals, pid = hk[order], vals[order], pid[order]
+    F = 1 << f_bits
+    counts = np.bincount(pid, minlength=F).astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return [(hk[starts[p] : ends[p]], vals[starts[p] : ends[p]])
+            for p in range(F)], counts
+
+
 def _exact_join_tuples(res) -> int:
     """Exact output count WITHOUT a cap-sized D2H transfer: the engine's
     u32 wraparound sum (JoinResult.join_tuples) plus a float32 device
@@ -349,6 +373,7 @@ def _partition_side(
         cv[:take] = np.asarray(vals[pos : pos + take])
         pos += take
         hk = hashed_key(jnp.asarray(ck), factor)
+        frags = None
         cap = 0  # pass's own estimate first
         for attempt in range(cap_retries + 1):
             bk, bv, cnts, ovf = radix_partition_pallas(
@@ -359,20 +384,27 @@ def _partition_side(
             # overflow is a value: retry this chunk with a doubled cap
             cap = 2 * (bk.shape[0] // F)
         else:
-            raise RuntimeError(
-                f"radix pass overflow persists for a {len(ck)}-row chunk "
-                f"at fanout {F}; raise chunk_rows granularity or f_bits"
-            )
-        bk = np.asarray(bk).reshape(F, -1)
-        bv = np.asarray(bv).reshape(F, -1)
-        cnts = np.asarray(cnts)
-        for p in range(F):
-            live = bk[p] != 0
-            assert int(live.sum()) == int(cnts[p])
-            frag_k, frag_v = bk[p][live], bv[p][live]
+            # a persistent overflow is the pass's per-tile RUN bound
+            # (skew: one hot key dominating the chunk), which capacity
+            # growth can never fix -- partition this chunk exactly on
+            # the host instead (_host_partition_fragments)
+            frags, _ = _host_partition_fragments(np.asarray(hk), cv,
+                                                 f_bits)
+        if frags is None:
+            bk = np.asarray(bk).reshape(F, -1)
+            bv = np.asarray(bv).reshape(F, -1)
+            cnts = np.asarray(cnts)
+            frags = []
+            for p in range(F):
+                live = bk[p] != 0
+                assert int(live.sum()) == int(cnts[p])
+                frags.append((bk[p][live], bv[p][live]))
+        for p, (frag_k, frag_v) in enumerate(frags):
+            if not len(frag_k):
+                continue
             _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), frag_k)
             _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), frag_v)
-            counts[p] += int(cnts[p])
+            counts[p] += len(frag_k)
             hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
             val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
     _write_side_sidecar(d, side, fp, counts, hk_csums, val_csums)

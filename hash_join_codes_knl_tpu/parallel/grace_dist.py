@@ -72,6 +72,7 @@ from ..engine.grace import (
     PartitionMeta,
     _append_u32,
     _budget_caps_local,
+    _host_partition_fragments,
     _init_partition_files,
     _journal_append,
     _make_loader,
@@ -172,11 +173,25 @@ def _partition_side_dist(
             # overflow is a value: retry this superchunk, doubled cap
             cap = 2 * (rk.shape[0] // (n_dev * F))
         else:
-            raise RuntimeError(
-                f"distributed radix pass overflow persists for a "
-                f"{take}-row superchunk at fanout {F}; raise chunk_rows "
-                "granularity or f_bits"
-            )
+            # a persistent overflow is the pass's per-tile RUN bound
+            # (skew: one hot key dominating a shard), which capacity
+            # growth can never fix.  Partition this superchunk exactly
+            # on the host instead: the owner exchange here only routes
+            # fragments to files, and file CONTENT is a multiset -- the
+            # host split appends the identical multiset, so spills stay
+            # interchangeable and checksums/counts are unaffected.
+            hk_h = ((ck.astype(np.uint64) * np.uint64(factor))
+                    & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            frags, _ = _host_partition_fragments(hk_h, cv, f_bits)
+            for p, (fk, fv) in enumerate(frags):
+                if not len(fk):
+                    continue
+                _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), fk)
+                _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), fv)
+                counts[p] += len(fk)
+                hk_csums[p] = (hk_csums[p] + _u64sum(fk)) % (1 << 64)
+                val_csums[p] = (val_csums[p] + _u64sum(fv)) % (1 << 64)
+            continue
         capr = rk.shape[0] // (n_dev * F)
         # (dst, src, local partition, region)
         rk = np.asarray(rk).reshape(n_dev, n_dev, Fl, capr)

@@ -225,3 +225,21 @@ def test_grace_corrupt_spill_recomputes(tmp_path, workload):
     assert r3.reused_sides["probe"] is False  # recomputed after checksum
     assert r3.reused_sides["build"] is True
     assert r3.join_tuples == r1.join_tuples
+
+
+def test_grace_hot_key_chunk_host_fallback(tmp_path):
+    """A chunk dominated by ONE hot key exceeds the device pass's
+    per-tile run bound at any capacity (cap retries cannot converge);
+    the driver must fall back to the exact host split for that chunk
+    and still produce the exact join (regression: it raised after
+    burning all cap retries)."""
+    rng = np.random.default_rng(77)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    iv = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    ok = ik[rng.integers(0, 2048, 20000)].astype(np.uint32)
+    ok[:12000] = ik[5]  # 60% of probes are one key
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    gres = grace_join(ik, iv, ok, ov, f_bits=4, chunk_rows=4000,
+                      spill_dir=str(tmp_path / "hot"))
+    want = join_oracle(ik, iv, ok, ov)
+    assert gres.join_tuples == len(want[0])
