@@ -78,8 +78,24 @@ def main():
 
     results = {}
 
-    def want(name):
-        return args.only is None or args.only in name
+    # gate -> published row names, so --only matches EITHER the internal
+    # gate or any recorded bench_results.json row name (a user copying
+    # "hash_aggregate_256M" must not get a silent no-op rerun)
+    GATE_ROWS = {
+        "phj_uniform": ("phj_uniform",),
+        "aggregate": ("hash_aggregate_256M",),
+        "npj_uniform_full": ("npj_uniform_full",),
+        "zipf": ("phj_zipf_0.75", "phj_zipf_1.0"),
+        "cpra": ("cpra",),
+        "radix_4096": ("phj_radix_4096way",),
+        "npj_uniform": ("npj_uniform",),
+        "npj_chain": ("npj_chain", "npj_chain_unique"),
+    }
+
+    def want(gate):
+        if args.only is None or args.only in gate:
+            return True
+        return any(args.only in row for row in GATE_ROWS.get(gate, ()))
 
     def record(name, outer_n, seconds, extra=None):
         results[name] = {
@@ -106,7 +122,9 @@ def main():
     if any(need_full):
         inner, outer, _ = generate(seed=42, inner_tuples=I, outer_tuples=O,
                                    mode="uniform" if O > I else "ref")
-    plan = plan_join(I, O)
+    # plan_join at full size pays the on-device probe-chunk tuner; only
+    # the phj_uniform/zipf rows consume the plan
+    plan = plan_join(I, O) if (want("phj_uniform") or want("zipf")) else None
     if need_ik:
         ik, iv = jnp.asarray(inner.keys), jnp.asarray(inner.vals)
     if need_ok:
@@ -183,7 +201,25 @@ def main():
                                      outer_tuples=O, mode="zipf", zipf=z)
             okz = jnp.asarray(outer_z.keys)
             ovz = jnp.asarray(outer_z.vals)
-            _, zplan = phj_auto_join(ik, iv, okz, ovz, plan)
+            res0, zplan = phj_auto_join(ik, iv, okz, ovz, plan)
+            if args.small:
+                # digest validation vs the host oracle (small sizes
+                # only; at 256M the oracle itself is the bottleneck --
+                # the TPU smoke battery covers full-scale zipf digests)
+                from hash_join_codes_knl_tpu.engine.oracle import (
+                    join_oracle,
+                    multiset_digest,
+                )
+                from hash_join_codes_knl_tpu.engine.phj import materialize
+
+                got_d = multiset_digest(*materialize(res0))
+                want_d = multiset_digest(*join_oracle(
+                    inner.keys, inner.vals, outer_z.keys, outer_z.vals))
+                assert got_d == want_d, f"zipf z={z} digest mismatch"
+            # free the throwaway re-plan result BEFORE the timed reps:
+            # its cap-sized leaves (~3-4 GB at 256M rows) would otherwise
+            # stay live through the loop (and into the cpra row)
+            res0 = None
 
             # xor the per-rep variation INSIDE the jit: an eager
             # `ovz ^ rep` materializes an extra 1 GB, which is exactly

@@ -14,7 +14,14 @@ visible (a production PCIe host link is ~100x).
 
 Usage: python scripts/bench_grace.py [--build 256000000]
        [--probe 1000000000] [--f-bits 6] [--chunk 48000000]
-       [--spill-dir /tmp/grace_spill]
+       [--spill-dir DIR]
+
+Default spill dir is a FRESH temp dir (removed afterwards): a reused
+dir would resume the phase-1 spills and phase-2 journal and "measure"
+seconds of checksum reads as if it joined 1B rows.  Pass --spill-dir
+to study resume behavior; the report carries reused_sides /
+resumed_partitions either way so a resumed run is never mistaken for
+a measurement.
 """
 
 from __future__ import annotations
@@ -35,8 +42,15 @@ def main():
     ap.add_argument("--probe", type=int, default=1_000_000_000)
     ap.add_argument("--f-bits", type=int, default=6)
     ap.add_argument("--chunk", type=int, default=48_000_000)
-    ap.add_argument("--spill-dir", default="/tmp/grace_spill")
+    ap.add_argument("--spill-dir", default=None)
     args = ap.parse_args()
+    cleanup = None
+    if args.spill_dir is None:
+        import shutil
+        import tempfile
+
+        args.spill_dir = tempfile.mkdtemp(prefix="grace_bench_")
+        cleanup = lambda: shutil.rmtree(args.spill_dir, ignore_errors=True)
 
     from hash_join_codes_knl_tpu.engine.grace import grace_join
 
@@ -48,16 +62,21 @@ def main():
     assert len(ik) >= args.build, "raise the oversample factor"
     ik = rng.permutation(ik)[: args.build]
     iv = ik * np.uint32(0x9E3779B1)
-    idx = rng.integers(0, args.build, args.probe)
+    idx = rng.integers(0, args.build, args.probe, dtype=np.uint32)
     ok = ik[idx]
     del idx
     ov = ok * np.uint32(0x85EBCA77)
     gen_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    gres = grace_join(ik, iv, ok, ov, f_bits=args.f_bits,
-                      chunk_rows=args.chunk, spill_dir=args.spill_dir)
-    dt = time.perf_counter() - t0
+    try:
+        gres = grace_join(ik, iv, ok, ov, f_bits=args.f_bits,
+                          chunk_rows=args.chunk,
+                          spill_dir=args.spill_dir)
+    finally:
+        dt = time.perf_counter() - t0
+        if cleanup:
+            cleanup()
     ok_card = gres.join_tuples == args.probe
     out = {
         "metric": f"grace_join_{args.build//10**6}Mx{args.probe//10**6}M",
@@ -71,6 +90,8 @@ def main():
         "max_probe_partition": max(m.probe_rows for m in gres.partitions),
         "transfer_gb": round((args.build + args.probe) * 8 * 2.2 / 1e9, 1),
         "hostgen_s": round(gen_s, 2),
+        "reused_sides": gres.reused_sides,
+        "resumed_partitions": gres.resumed_partitions,
         "note": "tunnel-bound on this dev box (~0.04 GB/s H2D)",
     }
     print(json.dumps(out))

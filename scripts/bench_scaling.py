@@ -9,10 +9,11 @@ On this dev box there is one real TPU chip, so --cpu runs the harness on
 the virtual 8-device CPU mesh (validates the sharding + the math, not the
 silicon); on a pod slice, run it as-is under `jax.distributed`.
 
-CPU-mesh note: one physical core SERIALIZES the m virtual devices, so
-raw t(1)/t(m) trends to 1/m by construction.  The honest CPU-mesh
-metric is the serialization-corrected efficiency m*t(1)/t(m) -- the
-sharding/collective overhead factor -- reported alongside.  Per-chip
+CPU-mesh note: the physical cores SERIALIZE the m virtual devices once
+m exceeds them, so raw t(1)/t(m) trends to cores/m by construction.
+The honest CPU-mesh metric is the serialization-corrected efficiency
+(m / min(m, cores)) * t(1) / t(m) -- the sharding/collective overhead
+factor (exactly what the code computes) -- reported alongside.  Per-chip
 sizes stay small enough that no single collective straggles past XLA's
 40 s CPU rendezvous hard timeout (one core running m device threads
 staggers their arrival).
@@ -83,7 +84,10 @@ def main():
         outer_cap = max(plan.tile, int(4 * O / (m * m)))
         step = make_cpra_step(mesh, plan, inner_cap, outer_cap)
         sh = NamedSharding(mesh, P("x"))
-        dev = lambda x: jax.device_put(jnp.asarray(x), sh)
+        # device_put the NUMPY array directly: jnp.asarray first
+        # commits it whole to device 0 and re-shards, doubling
+        # the host-link transfer (and requiring one chip to fit it)
+        dev = lambda x: jax.device_put(np.asarray(x), sh)
         ik, iv = dev(inner.keys), dev(inner.vals)
         ok, ov = dev(outer.keys), dev(outer.vals)
 

@@ -44,14 +44,23 @@ def main():
                            outer_tuples=args.inner, mode="ref")
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    idx = rng.integers(0, args.inner, args.outer)
+    idx = rng.integers(0, args.inner, args.outer, dtype=np.uint32)
     ok = inner.keys[idx]
     del idx
+    want = args.outer
     if args.miss > 0:
         nm = int(args.miss * args.outer)
-        ok[:nm] = rng.integers(1, 2**32, nm, dtype=np.uint32) | np.uint32(
-            1 << 31
-        )  # high bit set: vanishing hit probability, cardinality ~exact
+        # a random u32 still hits ~inner/2^32 of the time (the build
+        # keys are uniform over the whole nonzero range -- no bit mask
+        # makes misses certain), so the EXACT expected count is computed
+        # by membership against the sorted build keys and validation
+        # stays ON for miss runs
+        ok[:nm] = rng.integers(1, 2**32, nm, dtype=np.uint32)
+        sk = np.sort(inner.keys)
+        pos = np.searchsorted(sk, ok[:nm])
+        pos[pos == len(sk)] = 0
+        want = (args.outer - nm) + int((sk[pos] == ok[:nm]).sum())
+        del sk, pos
     ov = ok * np.uint32(0x85EBCA77)
     gen_s = time.perf_counter() - t0
 
@@ -59,8 +68,7 @@ def main():
     sres = stream_join(inner.keys, inner.vals, ok, ov,
                        chunk_rows=args.chunk, spill_dir=args.spill_dir)
     dt = time.perf_counter() - t0
-    want = args.outer if args.miss == 0 else None
-    ok_card = want is None or sres.join_tuples == want
+    ok_card = sres.join_tuples == want
     h2d_gb = args.outer * 8 / 1e9
     out = {
         "metric": f"stream_join_{args.inner//10**6}Mx{args.outer//10**6}M",
@@ -73,6 +81,7 @@ def main():
         "chunk_rows": args.chunk,
         "window": sres.plan.window,
         "h2d_gb": round(h2d_gb, 2),
+        "resumed_chunks": sres.resumed_chunks,
         "hostgen_s": round(gen_s, 2),
         "spill": bool(args.spill_dir),
     }
