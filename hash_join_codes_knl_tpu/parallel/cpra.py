@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.config import JoinPlan, plan_join
@@ -621,7 +622,17 @@ def cpra_join(
     if tier_ratio is not None and n_chips >= 2:
         bias = 2.0 * max(tier_ratio, 1.0 - tier_ratio)
     sh = NamedSharding(mesh, P(axis))
-    dev = lambda x: jax.device_put(jnp.asarray(x), sh)
+
+    def dev(x):
+        # pad to a mesh multiple with null keys (key 0 is inert in every
+        # consumer) so ANY relation size shards -- without this, a
+        # non-divisible length dies in jax with a cryptic sharding error
+        x = np.asarray(x)
+        pad = -len(x) % n_chips
+        if pad:
+            x = np.concatenate([x, np.zeros(pad, x.dtype)])
+        return jax.device_put(x, sh)
+
     args = (dev(inner_keys), dev(inner_vals), dev(outer_keys),
             dev(outer_vals))
     from ..engine.phj import replan_from_span

@@ -88,7 +88,19 @@ def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
     if plan is None:
         plan = plan_npj(len(inner_keys))
     sh = NamedSharding(mesh, P(axis))
-    dev = lambda x: jax.device_put(jnp.asarray(x), sh)
+    n_dev = mesh.shape[axis]
+
+    def dev(x):
+        # pad to a mesh multiple with null keys (inert everywhere) so
+        # any relation size shards; pads land at the tail of the last
+        # shard, so trimming the aligned outputs back to the input
+        # length drops exactly them
+        x = np.asarray(x)
+        pad = -len(x) % n_dev
+        if pad:
+            x = np.concatenate([x, np.zeros(pad, x.dtype)])
+        return jax.device_put(x, sh)
+
     args = (dev(inner_keys), dev(inner_vals), dev(outer_keys),
             dev(outer_vals))
     window = plan.window or plan.auto_window(
@@ -123,4 +135,6 @@ def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
             "NPJ sorted-probe window overflow persists at the widest "
             "compilable window; use the PHJ merge engine for this shape"
         )
-    return np.asarray(mv), np.asarray(mc), int(total), plan
+    n_out = len(outer_keys)
+    return (np.asarray(mv)[:n_out], np.asarray(mc)[:n_out], int(total),
+            plan)

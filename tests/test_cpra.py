@@ -256,3 +256,18 @@ def test_cpra_radix_pack_matches_sort_pack():
                                 outer_cap=128, pack_impl="radix")
     _, _, diag_t = step_tight(*args)
     assert int(diag_t[0]) > 0
+
+
+def test_cpra_join_odd_relation_sizes():
+    """Relation lengths that do not divide the mesh must shard via
+    null-key padding instead of dying in jax's sharding divisibility
+    check (regression: cryptic ValueError on any odd size)."""
+    rng = np.random.default_rng(41)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:1255]
+    iv = rng.integers(0, 2**32, 1255, dtype=np.uint32)
+    ok = ik[rng.integers(0, 1255, 9377)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 9377, dtype=np.uint32)
+    mesh = jax.make_mesh((8,), ("x",))
+    res, _ = cpra_join(ik, iv, ok, ov, mesh, slack=4.0)
+    want = join_oracle(ik, iv, ok, ov)
+    assert int(np.asarray(res.join_tuples).sum()) == len(want[0])

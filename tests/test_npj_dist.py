@@ -38,3 +38,20 @@ def test_npj_dist_single_device():
     assert total == len(
         join_oracle(inner.keys, inner.vals, outer.keys, outer.vals)[0]
     )
+
+
+def test_npj_dist_odd_relation_sizes():
+    """Odd relation lengths shard via null-key padding; the aligned
+    outputs trim back to the input length (pads land at the tail of
+    the last shard)."""
+    rng = np.random.default_rng(43)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:1255]
+    iv = rng.integers(0, 2**32, 1255, dtype=np.uint32)
+    ok = ik[rng.integers(0, 1255, 9377)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 9377, dtype=np.uint32)
+    mesh = data_mesh(8)
+    mv, mc, total, _ = npj_join_dist(ik, iv, ok, ov, mesh)
+    want = join_oracle(ik, iv, ok, ov)
+    assert len(mv) == len(mc) == 9377
+    assert total == len(want[0])
+    assert int(np.asarray(mc).astype(np.int64).sum()) == len(want[0])
