@@ -399,3 +399,40 @@ def test_materialize_expanded_block_streaming():
     assert multiset_digest(*blocked) == multiset_digest(
         *join_oracle(ik, iv, ok, ov)
     )
+
+
+def test_join_raises_on_padded_overflow():
+    """The auto-replanning join() wrapper must RAISE on padded-table /
+    radix overflow (dropped tuples) rather than return a silently
+    truncated result -- window re-planning cannot fix those (regression:
+    only merge-mode overflow was inspected)."""
+    import pytest
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan
+    from hash_join_codes_knl_tpu.engine.phj import join as auto_join
+
+    rng = np.random.default_rng(83)
+    ik = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    iv = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    ok = ik[rng.integers(0, 2048, 4096)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    # 4 partitions x 128 slots for 2048 build rows: guaranteed drops
+    plan = JoinPlan(p_bits=2, slots=128, tile=128, pass_bits=(2,),
+                    probe_impl="jnp")
+    with pytest.raises(RuntimeError, match="slots"):
+        auto_join(ik, iv, ok, ov, plan)
+
+
+def test_merge_params_rejects_uncompilable_explicit_window():
+    """An explicit window past the scoped-vmem rows x chunks compile
+    budget raises up front instead of crashing the remote compiler
+    minutes into a build."""
+    import pytest
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan
+    from hash_join_codes_knl_tpu.engine.phj import _merge_params
+
+    plan = JoinPlan(p_bits=4, slots=128, tile=3072, pass_bits=(4,),
+                    window=40_000)  # > (2904//24)*128 = 15488 at t3072
+    with pytest.raises(ValueError, match="ceiling"):
+        _merge_params(plan, 1 << 20, 1 << 24)
