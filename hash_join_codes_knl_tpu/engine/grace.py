@@ -324,6 +324,21 @@ def _host_partition_fragments(hk: np.ndarray, vals: np.ndarray,
             for p in range(F)], counts
 
 
+def _append_fragments(d: str, side: str, frags, counts, hk_csums,
+                      val_csums) -> None:
+    """Append per-partition fragments to the side's partition files,
+    accumulating counts and both column checksums (shared by the
+    single-chip and distributed passes and their host fallbacks)."""
+    for p, (frag_k, frag_v) in enumerate(frags):
+        if not len(frag_k):
+            continue
+        _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), frag_k)
+        _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), frag_v)
+        counts[p] += len(frag_k)
+        hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
+        val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
+
+
 def _exact_join_tuples(res) -> int:
     """Exact output count WITHOUT a cap-sized D2H transfer: the engine's
     u32 wraparound sum (JoinResult.join_tuples) plus a float32 device
@@ -399,14 +414,7 @@ def _partition_side(
                 live = bk[p] != 0
                 assert int(live.sum()) == int(cnts[p])
                 frags.append((bk[p][live], bv[p][live]))
-        for p, (frag_k, frag_v) in enumerate(frags):
-            if not len(frag_k):
-                continue
-            _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), frag_k)
-            _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), frag_v)
-            counts[p] += len(frag_k)
-            hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
-            val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
+        _append_fragments(d, side, frags, counts, hk_csums, val_csums)
     _write_side_sidecar(d, side, fp, counts, hk_csums, val_csums)
     return counts, hk_csums, val_csums
 

@@ -44,6 +44,22 @@ def pack_by_owner(keys, vals, owner, n_owners: int, cap: int):
     return bk, bv, counts
 
 
+def _check_tier_plan(use_tiers: bool, plan: JoinPlan) -> None:
+    """Tier routing requires a merge-mode local plan: the tier level is
+    a RANGE hash of the factor-1 scramble (hash_ratio: mulhi32(hk, 100)
+    vs cut), so each chip receives keys whose factor-1 hk is confined
+    to its tier's slice of the u32 line -- a padded local join
+    partitioning on the TOP factor-1 bits would be skewed into
+    guaranteed slot overflow.  The merge engine sorts the full range
+    and is insensitive to that compression; refuse loudly."""
+    if use_tiers and not plan.probe_impl.startswith("merge"):
+        raise ValueError(
+            "tier_ratio requires a merge-mode local plan: tier routing "
+            "compresses each chip's factor-1 hash range, skewing padded "
+            "top-bits partitioning -- use probe_impl='merge'"
+        )
+
+
 def pack_by_owner_radix(keys, vals, factor: int, c_bits: int,
                         cap: int = 0, interpret: bool = False):
     """Owner pack through ONE bounded-fanout Pallas radix pass -- the
@@ -185,19 +201,7 @@ def make_cpra_step(
             "tier hash is not a top-bits partition -- use the sort pack "
             "for tiered placement"
         )
-    if use_tiers and not plan.probe_impl.startswith("merge"):
-        # the tier level is a RANGE hash of the factor-1 scramble
-        # (hash_ratio: mulhi32(hk, 100) vs cut), so each chip receives
-        # keys whose factor-1 hk is confined to its tier's slice of the
-        # u32 line -- a padded local join partitioning on the TOP
-        # factor-1 bits would be skewed into guaranteed slot overflow.
-        # The merge engine sorts the full range and is insensitive to
-        # that compression; refuse the combination loudly.
-        raise ValueError(
-            "tier_ratio requires a merge-mode local plan: tier routing "
-            "compresses each chip's factor-1 hash range, skewing padded "
-            "top-bits partitioning -- use probe_impl='merge'"
-        )
+    _check_tier_plan(use_tiers, plan)
     # local partitioning consumes the hash bits BELOW the owner bits --
     # within one owner, the top c_bits are constant and carry no
     # information.  With tiers, owner routing is hash_ratio (tier range
@@ -331,14 +335,7 @@ def make_cpra_steps_staged(
     n_chips = mesh.shape[axis]
     c_bits = _owner_bits(n_chips)
     use_tiers = tier_ratio is not None and n_chips >= 2
-    if use_tiers and not plan.probe_impl.startswith("merge"):
-        # same range-compression hazard as make_cpra_step (tier routing
-        # confines each chip's factor-1 hash range to its tier's slice)
-        raise ValueError(
-            "tier_ratio requires a merge-mode local plan: tier routing "
-            "compresses each chip's factor-1 hash range, skewing padded "
-            "top-bits partitioning -- use probe_impl='merge'"
-        )
+    _check_tier_plan(use_tiers, plan)
     skip = plan.skip_bits if use_tiers else plan.skip_bits + c_bits
     local_plan = dataclasses.replace(plan, skip_bits=skip)
 
@@ -621,18 +618,10 @@ def cpra_join(
     bias = 1.0
     if tier_ratio is not None and n_chips >= 2:
         bias = 2.0 * max(tier_ratio, 1.0 - tier_ratio)
+    from .distributed import shard_null_padded
+
     sh = NamedSharding(mesh, P(axis))
-
-    def dev(x):
-        # pad to a mesh multiple with null keys (key 0 is inert in every
-        # consumer) so ANY relation size shards -- without this, a
-        # non-divisible length dies in jax with a cryptic sharding error
-        x = np.asarray(x)
-        pad = -len(x) % n_chips
-        if pad:
-            x = np.concatenate([x, np.zeros(pad, x.dtype)])
-        return jax.device_put(x, sh)
-
+    dev = lambda x: shard_null_padded(x, n_chips, sh)
     args = (dev(inner_keys), dev(inner_vals), dev(outer_keys),
             dev(outer_vals))
     from ..engine.phj import replan_from_span

@@ -79,6 +79,19 @@ def _heartbeat_fn(mesh: Mesh, axis: str):
     )
 
 
+def shard_null_padded(x, n_dev: int, sharding):
+    """device_put a host array onto the mesh, zero-padding to a device
+    multiple first: key 0 is the inert null everywhere, so ANY relation
+    length shards (without this, a non-divisible length dies in jax's
+    sharding divisibility check with a cryptic error).  Shared by the
+    distributed drivers (cpra_join, npj_join_dist)."""
+    x = np.asarray(x)
+    pad = -len(x) % n_dev
+    if pad:
+        x = np.concatenate([x, np.zeros(pad, x.dtype)])
+    return jax.device_put(x, sharding)
+
+
 def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x",
                    _beat_fn=None) -> bool:
     """All-hosts heartbeat: one tiny psum over the mesh with a timeout.

@@ -70,7 +70,7 @@ from ..engine.config import JoinPlan, plan_join
 from ..engine.grace import (
     GraceResult,
     PartitionMeta,
-    _append_u32,
+    _append_fragments,
     _budget_caps_local,
     _host_partition_fragments,
     _init_partition_files,
@@ -85,7 +85,7 @@ from ..engine.grace import (
 )
 from ..engine.phj import JoinResult, phj_join, replan_from_span
 from ..ops.radix_partition_pallas import radix_partition_pallas
-from ..utils.hashing import hashed_key, mod_inverse_u32
+from ..utils.hashing import hashed_key, mod_inverse_u32, np_hashed_key
 from .cpra import _engine_overflow, _engine_span, _owner_bits
 from .distributed import require_live_mesh
 
@@ -180,37 +180,22 @@ def _partition_side_dist(
             # fragments to files, and file CONTENT is a multiset -- the
             # host split appends the identical multiset, so spills stay
             # interchangeable and checksums/counts are unaffected.
-            hk_h = ((ck.astype(np.uint64) * np.uint64(factor))
-                    & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            frags, _ = _host_partition_fragments(hk_h, cv, f_bits)
-            for p, (fk, fv) in enumerate(frags):
-                if not len(fk):
-                    continue
-                _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), fk)
-                _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), fv)
-                counts[p] += len(fk)
-                hk_csums[p] = (hk_csums[p] + _u64sum(fk)) % (1 << 64)
-                val_csums[p] = (val_csums[p] + _u64sum(fv)) % (1 << 64)
+            frags, _ = _host_partition_fragments(
+                np_hashed_key(ck, factor), cv, f_bits)
+            _append_fragments(d, side, frags, counts, hk_csums, val_csums)
             continue
         capr = rk.shape[0] // (n_dev * F)
         # (dst, src, local partition, region)
         rk = np.asarray(rk).reshape(n_dev, n_dev, Fl, capr)
         rv = np.asarray(rv).reshape(n_dev, n_dev, Fl, capr)
         rc = np.asarray(rc).reshape(n_dev, n_dev, Fl)
+        frags = []  # index == partition id: p = dst * Fl + j
         for dst in range(n_dev):
             for j in range(Fl):
-                p = dst * Fl + j
                 live = rk[dst, :, j] != 0
                 assert int(live.sum()) == int(rc[dst, :, j].sum())
-                frag_k = rk[dst, :, j][live]
-                frag_v = rv[dst, :, j][live]
-                if not len(frag_k):
-                    continue
-                _append_u32(os.path.join(d, f"{side}_{p}_hk.bin"), frag_k)
-                _append_u32(os.path.join(d, f"{side}_{p}_val.bin"), frag_v)
-                counts[p] += len(frag_k)
-                hk_csums[p] = (hk_csums[p] + _u64sum(frag_k)) % (1 << 64)
-                val_csums[p] = (val_csums[p] + _u64sum(frag_v)) % (1 << 64)
+                frags.append((rk[dst, :, j][live], rv[dst, :, j][live]))
+        _append_fragments(d, side, frags, counts, hk_csums, val_csums)
     _write_side_sidecar(d, side, fp, counts, hk_csums, val_csums)
     return counts, hk_csums, val_csums
 

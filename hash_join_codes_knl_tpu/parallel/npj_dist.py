@@ -87,20 +87,13 @@ def npj_join_dist(inner_keys, inner_vals, outer_keys, outer_vals,
     require_live_mesh(mesh, liveness_timeout_s, axis, stage="npj_build")
     if plan is None:
         plan = plan_npj(len(inner_keys))
+    from .distributed import shard_null_padded
+
     sh = NamedSharding(mesh, P(axis))
     n_dev = mesh.shape[axis]
-
-    def dev(x):
-        # pad to a mesh multiple with null keys (inert everywhere) so
-        # any relation size shards; pads land at the tail of the last
-        # shard, so trimming the aligned outputs back to the input
-        # length drops exactly them
-        x = np.asarray(x)
-        pad = -len(x) % n_dev
-        if pad:
-            x = np.concatenate([x, np.zeros(pad, x.dtype)])
-        return jax.device_put(x, sh)
-
+    # pads land at the tail of the last shard, so trimming the aligned
+    # outputs back to the input length (below) drops exactly them
+    dev = lambda x: shard_null_padded(x, n_dev, sh)
     args = (dev(inner_keys), dev(inner_vals), dev(outer_keys),
             dev(outer_vals))
     window = plan.window or plan.auto_window(

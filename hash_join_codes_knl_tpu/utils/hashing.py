@@ -28,9 +28,15 @@ DEFAULT_FACTOR2 = 0xC2B2AE3D
 # --- numpy (host oracle) ------------------------------------------------------
 
 
+def np_hashed_key(keys: np.ndarray, factor: int) -> np.ndarray:
+    """hk = (keys * factor) mod 2^32 -- the host twin of hashed_key
+    (odd-factor scramble; a u32 bijection, 0 iff key == 0)."""
+    return (keys.astype(np.uint32) * np.uint32(factor)).astype(np.uint32)
+
+
 def np_range_hash(keys: np.ndarray, factor: int, nbins: int) -> np.ndarray:
     """h = ((keys * factor) mod 2^32) * nbins >> 32, as uint32 bins."""
-    h = (keys.astype(np.uint32) * np.uint32(factor)).astype(np.uint64)
+    h = np_hashed_key(keys, factor).astype(np.uint64)
     return ((h * np.uint64(nbins)) >> np.uint64(32)).astype(np.uint32)
 
 
