@@ -79,9 +79,15 @@ def _gather_row_result_factory(w_chunks: int, row_skip: bool = False,
             imax = jnp.int32(2**31 - 1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             bnd_row = jnp.where(lane < w_chunks, bndT[0:1, :], imax)
-            # (16, 128): L1[j] = boundary[8j] broadcast over lanes
-            l1 = jnp.broadcast_to(bnd_row.reshape(16, 8)[:, 0:1],
-                                  (16, 128))
+            # (16, 128): L1[j] = boundary[8j] broadcast over lanes.  A
+            # (1,128)->(16,8) reshape would move lanes into sublanes --
+            # Mosaic rejects that relayout ("unsupported shape cast" on
+            # hardware, r3) -- so pick every 8th lane with one per-tile
+            # lane gather instead (row j gathers lane 8j for all lanes)
+            idx16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) * 8
+            l1 = jnp.take_along_axis(
+                jnp.broadcast_to(bnd_row, (16, 128)), idx16, axis=1
+            )
             bnd8 = jnp.broadcast_to(bnd_row, (8, 128))
             sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             w1 = -(-w_chunks // 8)
