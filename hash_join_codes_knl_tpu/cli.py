@@ -309,7 +309,8 @@ def main(argv=None):
             plan = dataclasses.replace(plan, **overrides)
         if args.timelog and plan.probe_impl.startswith("merge"):
             res = phj_join_merge_staged(ik, iv, ok, ov, plan, timer)
-            if int(np.asarray(res.build_counts)[0]) != 0:
+            bc = np.asarray(res.build_counts)
+            if int(bc[0]) != 0 or int(bc[2]) != 0:
                 # the staged path pins its geometry for phase metering,
                 # so overflow cannot be re-planned here -- report it
                 # (never silent) and point at the auto re-planner

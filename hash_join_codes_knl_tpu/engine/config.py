@@ -33,6 +33,20 @@ class JoinPlan:
     # forced variants) | "auto"/"pallas"/"jnp" (padded-partition table probe)
     probe_impl: str = "merge"
     window: int = 0  # merge-mode probe window in slots (0 = auto estimate)
+    # gather-probe boundary-select engine: "auto" (policy in
+    # engine/phj.py: rowbase where its K-slice has margin, else flat) |
+    # "flat" | "hier" | "rowbase".  The rowbase K-slice can overflow on
+    # extreme build-side duplicate runs; the engine counts that
+    # (JoinResult.build_counts[2]) and join() re-plans to "flat".
+    gather_select: str = "auto"
+    # declare the build keys unique (the reference's -D_UNIQUE mode,
+    # npj.cpp:954-956): merge mode then skips the value-secondary build
+    # sort key (num_keys=2 exists only so duplicate-run max-vals sit at
+    # run ends -- with unique keys there are no runs).  VALIDATED at
+    # runtime: adjacent equal build keys are counted into
+    # build_counts[2] and join() downgrades the flag, so a wrong
+    # declaration can never return silently wrong match values.
+    unique_build: bool = False
     # merge mode: sort the probe side as this many INDEPENDENT chunks
     # (one batched 2-D sort) instead of one global 1-D sort.  Chunk
     # sorts are cheaper (PERF_NOTES.md batched-sort row) and each tile's

@@ -501,15 +501,26 @@ def grace_join(
             loaded[live[idx + 1]] = load_pair(live[idx + 1])
         if local.probe_impl.startswith("merge"):
             for _ in range(window_retries):
-                if int(res.build_counts[0]) == 0:
+                bc = res.build_counts
+                sel_ovf = int(bc[2]) if bc.shape[0] > 2 else 0
+                if int(bc[0]) == 0 and sel_ovf == 0:
                     break
                 from .phj import replan_from_span
 
-                span = int(res.build_counts[1])
+                span = int(bc[1])
+                win_ovf = int(bc[0])
                 res = None
-                local = replan_from_span(local, span)
+                if sel_ovf:
+                    # counted plan-optimization violation: downgrade
+                    # (exact for any input); no geometry change
+                    from .phj import downgrade_plan_opts
+
+                    local = downgrade_plan_opts(local)
+                if win_ovf:
+                    local = replan_from_span(local, span)
                 res = phj_join(bk, bv, pk, pv, local)
-            if int(res.build_counts[0]) != 0:
+            bc = res.build_counts
+            if int(bc[0]) != 0 or (bc.shape[0] > 2 and int(bc[2]) != 0):
                 raise RuntimeError(
                     f"partition {p}: window overflow persists"
                 )

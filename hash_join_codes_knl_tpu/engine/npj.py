@@ -78,8 +78,17 @@ class NpjPlan:
     # loop, in row-chunks: 24 rows x 121 chunks is the widest measured-
     # compilable geometry (engine/phj.py GATHER_MAX_CHUNKS); beyond the
     # derived window the driver raises a clear overflow error instead of
-    # handing the compiler an OOM-sized kernel
-    ROWCHUNK_BUDGET = 24 * 121
+    # handing the compiler an OOM-sized kernel.
+    # DENSE-kernel budget, r4 recalibration: the dense sweep's scoped
+    # footprint per (row x chunk) is ~2x the gather kernel's, AND the
+    # remote compiler's scoped-vmem accounting drifted between rounds
+    # (r3 compiled 181 chunks x 16 rows; the identical HEAD kernel now
+    # OOMs at 34.4M vs the 16M limit).  Measured bracket on v5e (tile
+    # 2048 = 16 rows): 144 chunks OK, 160 chunks 23.6M FAIL -- budget
+    # 2048 rowchunks sits a 256-rowchunk step below the boundary.
+    # Re-verify after compiler/service updates (scripts note in
+    # PERF_NOTES "scoped-vmem drift").
+    ROWCHUNK_BUDGET = 2048
 
     @property
     def max_window(self) -> int:
@@ -271,7 +280,6 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
     if plan.probe_impl == "chain":
         mv, mc = npj_probe(tk, tv, ok, plan)
         return mv, mc, plan
-    size_cap = min(plan.table_size, plan.max_window)
     # the measured parking displacement is already synced (the overflow
     # check above): fold it into the FIRST window so a clustered build
     # (max_disp past auto_window's default 384-slot budget) does not
@@ -279,19 +287,35 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
     disp = int(max_disp) + 128
     window = plan.window or plan.auto_window(len(ok), disp)
     for _ in range(window_retries + 1):
+        size_cap = min(plan.table_size, plan.max_window)
+        window = min(window, size_cap)
         mv, mc, wovf = npj_probe_sorted(tk, tv, ok, plan, max_disp, window)
-        if int(wovf) == 0 or window >= size_cap:
+        if int(wovf) == 0:
             break
-        # an undersized explicit window jumps straight to the auto
-        # estimate; past that, double
-        window = min(max(2 * window, plan.auto_window(len(ok), disp)),
-                     size_cap)
+        if window < size_cap:
+            # an undersized explicit window jumps straight to the auto
+            # estimate; past that, double
+            window = min(max(2 * window, plan.auto_window(len(ok), disp)),
+                         size_cap)
+        elif plan.tile > 512:
+            # spans exceed the widest compilable window at this tile:
+            # tile spans scale WITH the tile while the dense kernel's
+            # scoped-vmem ceiling scales inversely with its row count,
+            # so halving the tile shrinks the requirement and raises
+            # the cap at once (the PHJ re-planner's tile-shrink move,
+            # engine/phj.replan_from_span; floor 512 as there).  Needed
+            # since the r4 scoped-vmem recalibration: probe counts a
+            # small fraction of the table overflow the tile-2048 cap.
+            plan = dataclasses.replace(plan, tile=plan.tile // 2)
+            window = plan.auto_window(len(ok), disp)
+        else:
+            break
     if int(wovf) != 0:
         raise RuntimeError(
             "sorted-probe window overflow persists at the widest "
-            "compilable window: tile spans exceed the dense sweep's "
-            "range (very small probe counts against a large table) -- "
-            "use the PHJ merge engine for this shape, or raise the load "
-            "factor to shrink the bucket range"
+            "compilable window and the smallest tile: tile spans exceed "
+            "the dense sweep's range (very small probe counts against a "
+            "large table) -- use the PHJ merge engine for this shape, "
+            "or raise the load factor to shrink the bucket range"
         )
     return mv, mc, dataclasses.replace(plan, window=window)

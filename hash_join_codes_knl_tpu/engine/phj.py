@@ -197,16 +197,30 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
     # method="scan_unrolled" is ~4x the default binary-search lowering on
     # TPU (measured 12 ms vs 47 ms for 125K queries into 16M keys on v5e)
     coarse = bhk.reshape(rows_total, 128)[:, 0]
-    ss = functools.partial(jnp.searchsorted, method="scan_unrolled")
+    n = lo.shape[0]
+    # ONE fused scan for all three searches (the scan walks the whole
+    # coarse table regardless of query count, so batching the queries
+    # halves the stage's cost -- measured on v5e, see PERF_NOTES).  The
+    # right-search for hi uses the integer identity right(x) ==
+    # left(x + 1); x + 1 wraps only at the key-domain top, where the
+    # true right-count is the whole table (every element <= MAX).
+    queries = jnp.concatenate(
+        [lo, hi + jnp.uint32(1), jnp.full(1, 1, jnp.uint32)]
+    )
+    found = jnp.searchsorted(
+        coarse, queries, side="left", method="scan_unrolled"
+    ).astype(jnp.int32)
     # LEFT search - 1 for the anchor: with duplicate build keys, earlier
     # occurrences of the boundary value can sit in rows whose first
     # element is below it; the lower-bound row is always >= left-1
-    wrow = ss(coarse, lo, side="left").astype(jnp.int32) - 1
-    hi_row = ss(coarse, hi, side="right").astype(jnp.int32)
+    wrow = found[:n] - 1
+    hi_row = jnp.where(
+        hi == jnp.uint32(0xFFFFFFFF), rows_total, found[n : 2 * n]
+    )
     # skip build-side pads (hk=0 sorts to the front, masked in the compare):
     # a probe tile straddling the pad/real boundary must anchor its window
     # at the last row that can hold a real build tuple's run start
-    first_real = ss(coarse, jnp.uint32(1), side="left").astype(jnp.int32) - 1
+    first_real = found[2 * n] - 1
     wrow = jnp.maximum(wrow, first_real)
     wrow = jnp.clip(wrow, 0, rows_total - window // 128)
     span = (hi_row - wrow) * 128
@@ -252,18 +266,39 @@ def _merge_impl(plan: JoinPlan, window: int) -> str:
 # scalar-core branching loses at ROW granularity too, not just
 # per-(row, chunk) (PERF_NOTES "per-compile dice" + dense-kernel note)
 _GATHER_ROW_SKIP = os.environ.get("HJK_GATHER_ROW_SKIP", "0") != "0"
-# boundary-select engine: "flat" (W,128) reduce, "hier" two-level
-# count, or "auto" = hier once the flat reduce would dominate the row
-# (wide windows); threshold from the A/B harness (scripts/
-# bench_probe_ab.py HJK_GATHER_SELECT)
-_GATHER_SELECT = os.environ.get("HJK_GATHER_SELECT", "flat")
-_HIER_MIN_CHUNKS = 24
+# boundary-select engine override for A/B runs: "flat" (W,128) reduce,
+# "hier" two-level count (measured 1.4x LOSS, kept as ablation),
+# "rowbase" per-tile hoisted bases + K-slice, or "" = defer to
+# plan.gather_select (the production path)
+_GATHER_SELECT = os.environ.get("HJK_GATHER_SELECT", "")
+# "auto" policy: use rowbase when its K-slice is comfortably narrower
+# than the window (the saving is the flat (W,128) reduce pair; at
+# 3K >= W the slice select costs as much as flat and flat's shorter
+# dependency chain wins -- same VPU-pipelining lesson as hier/branching).
+# Default OFF until the hardware A/B verdict (PERF_NOTES measurement
+# protocol: production staged pipeline, fresh processes) -- flip here.
+_AUTO_ROWBASE = os.environ.get("HJK_AUTO_ROWBASE", "0") != "0"
 
 
-def _gather_select(window: int) -> str:
-    if _GATHER_SELECT != "auto":
-        return _GATHER_SELECT
-    return "hier" if window // 128 >= _HIER_MIN_CHUNKS else "flat"
+def _rowbase_k(window: int, tile: int) -> int:
+    """Boundary-slice length (chunks) for the rowbase select: ~2x the
+    expected per-row span (window covers a TILE's span; a 128-probe row
+    covers 128/tile of it) plus a fluctuation margin, rounded to a
+    sublane multiple.  Spans beyond K are counted by the kernel and
+    re-planned to flat -- K only has to make that rare, not impossible."""
+    w = window // 128
+    exp = -(-w * 128 // max(tile, 128))
+    return max(8, min(w, -(-(2 * exp + 6) // 8) * 8))
+
+
+def _gather_select(plan: JoinPlan, window: int) -> str:
+    sel = _GATHER_SELECT or plan.gather_select
+    if sel == "auto":
+        if not _AUTO_ROWBASE:
+            return "flat"
+        k = _rowbase_k(window, plan.tile)
+        return "rowbase" if 3 * k <= window // 128 else "flat"
+    return sel
 
 
 def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
@@ -273,19 +308,34 @@ def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
     bhk2 = bhk.reshape(rows_total, 128)
     bval2 = bval.reshape(rows_total, 128)
     impl = _merge_impl(plan, window)
+    sovf = jnp.zeros((), jnp.int32)
     if impl == "merge_gather":
         from ..ops.merge_probe_gather import merge_probe_gather
 
-        mv, mc = merge_probe_gather(ohk_s, bhk2, bval2, wrow, tile, window,
-                                    row_skip=_GATHER_ROW_SKIP,
-                                    select=_gather_select(window))
+        sel = _gather_select(plan, window)
+        mv, mc, sovf = merge_probe_gather(
+            ohk_s, bhk2, bval2, wrow, tile, window,
+            row_skip=_GATHER_ROW_SKIP, select=sel,
+            k_sel=_rowbase_k(window, tile),
+        )
     elif impl == "merge_pallas":
         mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
     else:
         mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile, window)
     inv = jnp.uint32(mod_inverse_u32(plan.factor))
-    # build_counts in merge mode: [overflow_tile_count, max_required_span]
-    return JoinResult(ohk_s * inv, ov_s, mv, mc, overflow)
+    # build_counts in merge mode: [overflow_tile_count, max_required_span,
+    # plan-optimization violation count].  The third entry is the shared
+    # downgrade channel: probe rows the rowbase K-slice could not cover,
+    # PLUS adjacent duplicate build keys under unique_build (either
+    # means the optimized plan's results cannot be trusted); nonzero ->
+    # the caller re-plans with downgrade_plan_opts (geometry unchanged)
+    viol = sovf.astype(jnp.int32)
+    if plan.unique_build:
+        viol = viol + jnp.sum(
+            ((bhk[1:] == bhk[:-1]) & (bhk[1:] != 0)).astype(jnp.int32)
+        )
+    stats = jnp.concatenate([overflow, viol[None]])
+    return JoinResult(ohk_s * inv, ov_s, mv, mc, stats)
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
@@ -310,10 +360,12 @@ def phj_join_merge(
     no = outer_keys.shape[0]
     tile, window, rows_total, cap = _merge_params(plan, ni, no)
     # build side carries the value as a secondary sort key (cheap at
-    # build size; required by the gather probe's exact max-val)
+    # build size; required by the gather probe's exact max-val on
+    # duplicate runs -- skipped under unique_build, where no runs exist
+    # and the declaration is runtime-validated into build_counts[2])
     bhk, bval = _merge_sort_side(
         hashed_key(inner_keys, plan.factor), inner_vals, rows_total * 128,
-        num_keys=2,
+        num_keys=1 if plan.unique_build else 2,
     )
     ohk_s, ov_s = _merge_sort_probe(
         hashed_key(outer_keys, plan.factor), outer_vals, cap,
@@ -331,11 +383,15 @@ def _staged_fns(plan: JoinPlan, tile: int, window: int, rows_total: int):
     f = plan.factor
     chunks = max(1, plan.probe_chunks)
 
-    def _sort(k, v, p, nk=1):
-        # nk=2 marks the build side (value-secondary order, never
-        # chunked); the probe side follows the plan's chunking
-        if nk != 1:
-            return _merge_sort_side(hashed_key(k, f), v, p, nk)
+    def _sort(k, v, p, build=False):
+        # the build side is value-secondary ordered (unless the plan
+        # declares unique keys) and never chunked; the probe side
+        # follows the plan's chunking
+        if build:
+            return _merge_sort_side(
+                hashed_key(k, f), v, p,
+                1 if plan.unique_build else 2,
+            )
         return _merge_sort_probe(hashed_key(k, f), v, p, chunks)
 
     sort_side = jax.jit(_sort, static_argnums=(2, 3))
@@ -360,7 +416,7 @@ def phj_join_merge_staged(inner_keys, inner_vals, outer_keys, outer_vals,
     tile, window, rows_total, cap = _merge_params(plan, ni, no)
     sort_side, windows, probe = _staged_fns(plan, tile, window, rows_total)
     bhk, bval = timer.run("partition_build", sort_side, inner_keys,
-                          inner_vals, rows_total * 128, 2)
+                          inner_vals, rows_total * 128, True)
     ohk_s, ov_s = timer.run("partition_probe", sort_side, outer_keys,
                             outer_vals, cap)
     wrow, overflow = timer.run("windows", windows, bhk, ohk_s)
@@ -480,6 +536,17 @@ def _phj_join_padded_radix(inner_keys, inner_vals, outer_keys, outer_vals,
     return JoinResult(pk * inv, pv, mv, mc, counts_plus)
 
 
+def downgrade_plan_opts(plan: JoinPlan) -> JoinPlan:
+    """Re-plan response to a counted plan-optimization violation
+    (build_counts[2] in merge mode): drop BOTH opportunistic flags --
+    rowbase select (span exceeded its K-slice) and unique_build
+    (duplicate build keys found).  Geometry is untouched, so spill
+    fingerprints and chunk layouts stay valid; the downgraded plan is
+    exact for any input.  Shared by every merge-mode retry loop."""
+    return dataclasses.replace(plan, gather_select="flat",
+                               unique_build=False)
+
+
 def window_from_span(span: int) -> int:
     """Padded window (slots, 128-aligned) for a MEASURED max span:
     25% slack plus a 384-slot floor pad absorbs chunk-to-chunk span
@@ -569,14 +636,30 @@ def join(
     res = phj_join(*args, plan)
     if plan.probe_impl.startswith("merge"):
         for _ in range(window_retries):
-            if int(res.build_counts[0]) == 0:
+            bc = res.build_counts
+            sel_ovf = int(bc[2]) if bc.shape[0] > 2 else 0
+            win_ovf = int(bc[0])
+            if win_ovf == 0 and sel_ovf == 0:
                 break
-            span = int(res.build_counts[1])
+            span = int(bc[1])
             res = None  # free the failed attempt's buffers before retrying
-            plan = replan_from_span(plan, span)
+            if sel_ovf:
+                # a counted plan-optimization violation (rowbase K-slice
+                # miss or unique_build duplicates): results cannot be
+                # trusted; downgrade to the unconditionally-exact flags
+                if _GATHER_SELECT == "rowbase":
+                    raise RuntimeError(
+                        "rowbase select overflow with HJK_GATHER_SELECT "
+                        "forcing rowbase: unset the override or raise "
+                        "k_sel (the auto policy falls back to flat)"
+                    )
+                plan = downgrade_plan_opts(plan)
+            if win_ovf:
+                plan = replan_from_span(plan, span)
             res = phj_join(*args, plan)
         else:
-            if int(res.build_counts[0]) != 0:
+            bc = res.build_counts
+            if int(bc[0]) != 0 or (bc.shape[0] > 2 and int(bc[2]) != 0):
                 raise RuntimeError(
                     "probe window overflow persists after re-planning"
                 )

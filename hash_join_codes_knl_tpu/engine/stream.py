@@ -207,7 +207,7 @@ def stream_join(
 
     sort_side, windows, probe = _staged_fns(plan, tile, window, rows_total)
     bhk, bval = sort_side(jnp.asarray(inner_keys), jnp.asarray(inner_vals),
-                          rows_total * 128, 2)
+                          rows_total * 128, True)
 
     n_chunks = -(-no // chunk_rows)
 
@@ -285,30 +285,41 @@ def stream_join(
         wrow, wovf = windows(bhk, ohk_s)
         res = probe(bhk, bval, ohk_s, ov_s, wrow, wovf)
         ovf = int(res.build_counts[0])
+        sel_ovf = int(res.build_counts[2])
         for _ in range(window_retries):
-            if ovf == 0:
+            if ovf == 0 and sel_ovf == 0:
                 break
-            # a skewed chunk overflowed its window: re-plan THIS and all
-            # later chunks from the MEASURED span (one recompile).
-            # Window-only: tile/chunk geometry must stay fixed so the
-            # spill fingerprint and chunk row order remain valid -- so
-            # when even the padded span busts the gather cap we must
-            # RAISE (a wider window would compile the 121-chunk kernel
-            # that crashes the remote compile helper, or silently drop
-            # to the pathological dense sweep), not shrink the tile like
-            # replan_from_span does.
-            span = int(res.build_counts[1])
-            window = max(window + 128, window_from_span(span))
-            if window > replan_window_cap(tile):
-                raise RuntimeError(
-                    f"chunk {k}: measured span {span} needs a "
-                    f"{window}-slot window, past the "
-                    f"{replan_window_cap(tile)}-slot gather cap at tile "
-                    f"{tile}; the spill pins this geometry -- rerun "
-                    "with a smaller tile or chunk_rows (fresh "
-                    "spill_dir) so the span shrinks with the tile"
-                )
-            plan = dataclasses.replace(plan, window=window)
+            if sel_ovf:
+                # counted plan-optimization violation (rowbase slice
+                # miss / unique_build duplicates): downgrade; the
+                # geometry (tile/chunks/window) is unchanged so the
+                # spill fingerprint stays valid
+                from .phj import downgrade_plan_opts
+
+                plan = downgrade_plan_opts(plan)
+            if ovf:
+                # a skewed chunk overflowed its window: re-plan THIS and
+                # all later chunks from the MEASURED span (one
+                # recompile).  Window-only: tile/chunk geometry must
+                # stay fixed so the spill fingerprint and chunk row
+                # order remain valid -- so when even the padded span
+                # busts the gather cap we must RAISE (a wider window
+                # would compile the 121-chunk kernel that crashes the
+                # remote compile helper, or silently drop to the
+                # pathological dense sweep), not shrink the tile like
+                # replan_from_span does.
+                span = int(res.build_counts[1])
+                window = max(window + 128, window_from_span(span))
+                if window > replan_window_cap(tile):
+                    raise RuntimeError(
+                        f"chunk {k}: measured span {span} needs a "
+                        f"{window}-slot window, past the "
+                        f"{replan_window_cap(tile)}-slot gather cap at "
+                        f"tile {tile}; the spill pins this geometry -- "
+                        "rerun with a smaller tile or chunk_rows (fresh "
+                        "spill_dir) so the span shrinks with the tile"
+                    )
+                plan = dataclasses.replace(plan, window=window)
             tile, window, rows_total, cap2 = _merge_params(
                 plan, ni, chunk_rows
             )
@@ -317,12 +328,13 @@ def stream_join(
                                                     rows_total)
             bhk, bval = sort_side(jnp.asarray(inner_keys),
                                   jnp.asarray(inner_vals),
-                                  rows_total * 128, 2)
+                                  rows_total * 128, True)
             ohk_s, ov_s = sort_side(dk, dv, cap)
             wrow, wovf = windows(bhk, ohk_s)
             res = probe(bhk, bval, ohk_s, ov_s, wrow, wovf)
             ovf = int(res.build_counts[0])
-        if ovf != 0:
+            sel_ovf = int(res.build_counts[2])
+        if ovf != 0 or sel_ovf != 0:
             raise RuntimeError(
                 f"chunk {k}: window overflow persists after re-planning"
             )

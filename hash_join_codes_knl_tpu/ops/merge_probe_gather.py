@@ -52,8 +52,8 @@ from .merge_probe_pallas import (
 
 
 def _gather_row_result_factory(w_chunks: int, row_skip: bool = False,
-                               select: str = "flat"):
-    def factory(kwin, vwin):
+                               select: str = "flat", k_sel: int = 16):
+    def factory(kwin, vwin, probe_ref):
         bias = jnp.int32(_BIAS)
         # window transposed: slot s of chunk w lives at [s, w].  The lane
         # (chunk) axis is padded to 128: Mosaic's dynamic gather wants
@@ -71,6 +71,49 @@ def _gather_row_result_factory(w_chunks: int, row_skip: bool = False,
         # to signed so boundary compares and key compares share a domain
         bndT = pltpu.bitcast(wkT, jnp.int32) ^ bias  # (128, 128)
         bnd_col = bndT[0:1, :w_chunks]  # (1, W): first slot of each chunk
+
+        if select == "rowbase":
+            # per-tile hoisted row bases (NEXT.md #2: the flat select's
+            # two (W, 128) compare-reduces are ~1/3 of the row's vreg
+            # ops; hier's width-independent per-row count LOST 1.4x to
+            # its serial refinement chain).  rowbase removes the per-row
+            # coarse work instead: probes within a tile are sorted, so a
+            # row's boundary range starts at (count of boundaries below
+            # the row's minimum live key) - 1, computed ONCE per tile
+            # for all rows with one lane-min + one (r_rows, 128)
+            # compare.  Each row then selects over only K consecutive
+            # boundaries sliced from its base -- a (K, 128) lane gather
+            # + two (K, 128) compare-reduces, width-independent and with
+            # a SHORTER per-row dependency chain than hier (the base is
+            # ready before the row loop starts).
+            #
+            # Exactness: boundaries below the slice are < every live
+            # probe in the row by construction; clamped duplicate reads
+            # past boundary W-1 only ever push cs/ce to W-1, which the
+            # clamp makes exact.  A row whose span exceeds the K-slice
+            # is COUNTED (third kernel output) and the caller falls back
+            # to the flat select -- overflow is a value, never silent.
+            imax = jnp.int32(2**31 - 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            bnd_row = jnp.where(lane < w_chunks, bndT[0:1, :], imax)
+            blk = pltpu.bitcast(probe_ref[0], jnp.int32) ^ bias
+            r_rows = blk.shape[0]
+            # min over LIVE lanes: pads (hk 0 -> biased INT_MIN) sort to
+            # the chunk front, so a pad/real boundary row must base on
+            # its first REAL key, not the pad
+            rmin = jnp.min(
+                jnp.where(probe_ref[0] != 0, blk, imax),
+                axis=1, keepdims=True,
+            )  # (r_rows, 1)
+            base = jnp.sum(
+                (jnp.broadcast_to(bnd_row, (r_rows, 128)) < rmin).astype(
+                    jnp.int32
+                ),
+                axis=1, keepdims=True,
+            )
+            s0 = jnp.clip(base - 1, 0, max(w_chunks - 1, 0))  # (r_rows, 1)
+            iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_sel, 128), 0)
+            bnd_k = jnp.broadcast_to(bnd_row, (k_sel, 128))
 
         if select == "hier":
             # two-level select (per tile, hoisted out of the row loop):
@@ -128,9 +171,29 @@ def _gather_row_result_factory(w_chunks: int, row_skip: bool = False,
                 )
                 return n_lt, n_le
 
-        def row_result(ok_u32):
+        def row_result(ok_u32, r):
             ok = pltpu.bitcast(ok_u32, jnp.int32) ^ bias  # (1, 128)
-            if select == "hier":
+            ovf = None
+            if select == "rowbase":
+                s0r = s0[r : r + 1, 0:1]  # (1, 1) this row's base chunk
+                idx = jnp.minimum(s0r + iota_k, w_chunks - 1)  # (K, 128)
+                bsl = jnp.take_along_axis(bnd_k, idx, axis=1)
+                le = bsl <= ok
+                n_lt = jnp.sum((bsl < ok).astype(jnp.int32), axis=0,
+                               keepdims=True)
+                n_le = jnp.sum(le.astype(jnp.int32), axis=0, keepdims=True)
+                cs = s0r + n_lt - 1
+                ce = s0r + n_le - 1
+                # span overflow: the slice's LAST boundary still compares
+                # <= the probe while real boundaries remain beyond it --
+                # cs/ce would under-count.  Live probes only (a pad probe
+                # at INT_MIN matching a pad boundary is not a span).
+                ovf = (
+                    le[k_sel - 1 : k_sel, :]
+                    & (s0r + (k_sel - 1) < w_chunks - 1)
+                    & (ok != jnp.int32(_BIAS))
+                ).astype(jnp.int32)
+            elif select == "hier":
                 n_lt, n_le = count_bounds(ok)
                 cs = n_lt - 1
                 ce = n_le - 1
@@ -217,6 +280,8 @@ def _gather_row_result_factory(w_chunks: int, row_skip: bool = False,
                 (cnt > 0) & live, pltpu.bitcast(mx ^ bias, jnp.uint32),
                 jnp.uint32(0),
             )
+            if ovf is not None:
+                return mv, cnt, ovf
             return mv, cnt
 
         return row_result
@@ -226,7 +291,7 @@ def _gather_row_result_factory(w_chunks: int, row_skip: bool = False,
 
 @functools.partial(jax.jit,
                    static_argnames=("tile", "window", "interpret",
-                                    "row_skip", "select"))
+                                    "row_skip", "select", "k_sel"))
 def merge_probe_gather(
     probe_hk: jnp.ndarray,  # (N_pad,) sorted by key within each tile's chunk
     build_hk2d: jnp.ndarray,  # (rows, 128) sorted (key asc, val-secondary)
@@ -237,6 +302,7 @@ def merge_probe_gather(
     interpret: bool = False,
     row_skip: bool = False,
     select: str = "flat",
+    k_sel: int = 16,
 ):
     """Same contract as merge_probe_pallas, with two requirements on the
     callers: (a) window <= 16384 slots (chunk index fits one lane gather),
@@ -245,20 +311,29 @@ def merge_probe_gather(
     with num_keys=1 -- probe order affects only window locality, not
     correctness).  Exact match counts for any M:N.
 
+    Returns (match_vals, match_cnts, select_overflow): the third value
+    counts probe rows whose span exceeded the rowbase boundary slice
+    (always 0 for "flat"/"hier"); a nonzero count means match results
+    are incomplete and the caller must re-run with select="flat" (the
+    engine's join() does this automatically).
+
     row_skip defaults False -- the measured production configuration
     (the per-row lax.cond ablation loses 2.2x, see the one_chunk
     comment); True only for HJK_GATHER_ROW_SKIP ablation runs.
 
     select: "flat" = one (W, 128) compare-reduce pair per row; "hier" =
     two-level boundary count (16-row coarse pass + one 8-wide lane
-    gather refinement) whose per-row cost is width-independent -- the
-    candidate for wide windows where the flat reduce is ~1/3 of the
-    row's vreg ops (NEXT.md #2)."""
+    gather refinement; measured 1.4x SLOWER than flat on hardware, kept
+    as ablation); "rowbase" = per-tile hoisted row bases + per-row
+    K-boundary sliced select (k_sel consecutive boundaries), the
+    width-independent candidate with no per-row coarse pass."""
     assert window % 128 == 0 and window // 128 <= 128, window
+    assert k_sel >= 2, k_sel
     n_tiles = probe_hk.shape[0] // tile
     kernel = make_window_probe_kernel(
         window // 128, n_tiles,
-        _gather_row_result_factory(window // 128, row_skip, select),
+        _gather_row_result_factory(window // 128, row_skip, select,
+                                   min(k_sel, window // 128)),
     )
     return window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
                              window_row, tile, window, interpret)

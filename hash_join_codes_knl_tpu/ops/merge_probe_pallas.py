@@ -38,13 +38,17 @@ _BIAS = -(2**31)
 def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
     """Shared scaffolding for the windowed merge-probe kernels: SMEM
     staging of the per-tile window rows, double-buffered window DMAs, and
-    the constant-tile fast-path dispatch.  `row_result_factory(kwin, vwin)`
-    receives the tile's resident window buffers ((w_chunks, 128) each) and
-    returns fn(probe_row (1,128)) -> (match_vals, match_cnts); the dense
-    and gather probes differ only there."""
+    the constant-tile fast-path dispatch.  `row_result_factory(kwin, vwin,
+    probe_ref)` receives the tile's resident window buffers ((w_chunks,
+    128) each) plus the probe block ref (for per-tile hoisted work) and
+    returns fn(probe_row (1,128), r) -> (match_vals, match_cnts) or
+    (match_vals, match_cnts, select_overflow); the dense and gather
+    probes differ only there.  Select-overflow counts (rowbase select's
+    "row spans more than its boundary slice" signal) accumulate into the
+    third kernel output; factories without the signal write zeros."""
 
     def kernel(wrow_hbm, probe_ref, bhk_hbm, bval_hbm,
-               mval_ref, mcnt_ref, kbuf, vbuf, wbuf, sems, wsems):
+               mval_ref, mcnt_ref, sovf_ref, kbuf, vbuf, wbuf, sems, wsems):
         # window rows live in HBM as (n_chunks, 128) -- scalar-prefetch
         # would put the whole (n_tiles,) array in SMEM, which overflows at
         # large tile counts.  Every 128 tiles the kernel DMAs the current
@@ -111,8 +115,12 @@ def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
             sems.at[slot, 1],
         ).wait()
 
-        row_result = row_result_factory(kbuf[slot], vbuf[slot])
+        row_result = row_result_factory(kbuf[slot], vbuf[slot], probe_ref)
         r_rows = probe_ref.shape[1]
+
+        def run_row(ok, r):
+            out = row_result(ok, r)
+            return out if len(out) == 3 else (*out, None)
 
         # heavy-hitter fast path: a tile whose probes are all one key
         # (sorted Zipf runs produce thousands of such tiles) needs only
@@ -124,17 +132,26 @@ def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
 
         @pl.when(const_tile)
         def _():
-            mv, cnt = row_result(probe_ref[0, 0:1, :])
+            mv, cnt, ovf = run_row(probe_ref[0, 0:1, :], 0)
             for r in range(r_rows):
                 mval_ref[0, r : r + 1, :] = mv
                 mcnt_ref[0, r : r + 1, :] = cnt
+            # all rows identical: row 0's overflow signal stands for each
+            sovf_ref[0, 0:1, :] = (
+                jnp.zeros((1, 128), jnp.int32) if ovf is None
+                else ovf * r_rows
+            )
 
         @pl.when(jnp.logical_not(const_tile))
         def _():
+            ovf_acc = jnp.zeros((1, 128), jnp.int32)
             for r in range(r_rows):
-                mv, cnt = row_result(probe_ref[0, r : r + 1, :])
+                mv, cnt, ovf = run_row(probe_ref[0, r : r + 1, :], r)
                 mval_ref[0, r : r + 1, :] = mv
                 mcnt_ref[0, r : r + 1, :] = cnt
+                if ovf is not None:
+                    ovf_acc = ovf_acc + ovf
+            sovf_ref[0, 0:1, :] = ovf_acc
 
     return kernel
 
@@ -142,7 +159,10 @@ def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
 def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
                       window_row, tile: int, window: int, interpret: bool):
     """Shared pallas_call wrapper for the windowed merge-probe kernels
-    (grid/specs/scratch are identical across them)."""
+    (grid/specs/scratch are identical across them).  Returns (match_vals,
+    match_cnts, select_overflow_total): the third value counts probe rows
+    whose rowbase boundary slice could not cover their span (0 for the
+    dense/flat/hier matchers, which select over the full window)."""
     cap = probe_hk.shape[0]
     n_tiles = cap // tile
     r_rows = tile // 128
@@ -173,6 +193,8 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
@@ -182,16 +204,17 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    mv, mc = pl.pallas_call(
+    mv, mc, sovf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.uint32),
             jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
         ],
         interpret=interpret,
     )(wrow2, probe3d, build_hk2d, build_val2d)
-    return mv.reshape(cap), mc.reshape(cap)
+    return mv.reshape(cap), mc.reshape(cap), jnp.sum(sovf)
 
 
 def _dense_row_result_factory(w_chunks: int):
@@ -204,13 +227,15 @@ def _dense_row_result_factory(w_chunks: int):
     # window size (not skipping) is the lever that controls compare work --
     # and past ~5 chunks the gather-select kernel takes over entirely
     # (ops/merge_probe_gather.py).
-    def factory(kwin, vwin):
+    def factory(kwin, vwin, probe_ref):
+        del probe_ref  # the dense sweep has no per-tile hoisted select
         bias = jnp.int32(_BIAS)
         # window: (w_chunks, 128) -> slots on sublanes via transpose
         wkT = jnp.transpose(kwin, (1, 0))  # (128, w_chunks)
         wvT = jnp.transpose(pltpu.bitcast(vwin, jnp.int32) ^ bias, (1, 0))
 
-        def row_result(ok):
+        def row_result(ok, r):
+            del r
             # hk=0 pads: a real probe never equals a build pad (0) and a
             # pad probe (0) only equals build pads, so the inner compare
             # needs no mask -- spurious pad-pad matches are zeroed once
@@ -255,8 +280,9 @@ def merge_probe_pallas(
     kernel = make_window_probe_kernel(
         window // 128, n_tiles, _dense_row_result_factory(window // 128)
     )
-    return window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
-                             window_row, tile, window, interpret)
+    mv, mc, _ = window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
+                                  window_row, tile, window, interpret)
+    return mv, mc
 
 
 def merge_probe_jnp(probe_hk, build_hk2d, build_val2d, window_row, tile,

@@ -96,10 +96,24 @@ def _engine_overflow(res, local_plan):
     padded sort mode: number of partitions past `slots` (dropped tuples).
     """
     if local_plan.probe_impl.startswith("merge"):
-        return res.build_counts[0]
+        # window-overflow tiles plus rowbase select-overflow rows
+        # (build_counts[2]): either means incomplete matches, and every
+        # driver must surface it -- the re-planners split them apart
+        # again via _engine_select_overflow
+        return res.build_counts[0] + res.build_counts[2]
     if local_plan.partition_impl == "radix":
         return res.build_counts[-1]
     return jnp.sum((res.build_counts > local_plan.slots).astype(jnp.int32))
+
+
+def _engine_select_overflow(res, local_plan):
+    """Plan-optimization violation count (merge mode only; 0 elsewhere):
+    rowbase select-overflow rows plus unique_build duplicate keys.  The
+    fix is downgrade_plan_opts, not a window change -- kept as its own
+    diag entry so cpra_join re-plans the right knob."""
+    if local_plan.probe_impl.startswith("merge"):
+        return res.build_counts[2]
+    return jnp.zeros((), jnp.int32)
 
 
 def _engine_span(res, local_plan):
@@ -172,9 +186,10 @@ def make_cpra_step(
     tier hash is not a top-bits partition).
     Returns fn(ik, iv, ok, ov) -> (JoinResult, heavy, diag): inputs
     sharded along `axis`, result leaves chip-local (the aligned join output
-    never needs to be gathered).  diag is a replicated (4,) int32 vector
+    never needs to be gathered).  diag is a replicated (5,) int32 vector
     [exchange-cap overflow count, engine (window/table) overflow count,
-    max required probe-window span, heavy-build-cap overflow count] --
+    max required probe-window span, heavy-build-cap overflow count,
+    rowbase select-overflow count] --
     the overflow sources are reported separately because their fixes
     differ (more exchange slack vs a measured-span window re-plan vs a
     larger heavy_build_cap).  With skew=True, `heavy` is the local-heavy
@@ -282,10 +297,11 @@ def make_cpra_step(
             rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
         res = phj_join(rik, riv, rok, rov, local_plan)
         # diag = [exchange-cap overflow count, engine overflow count,
-        # max required probe span, heavy-build-cap overflow count]: the
-        # overflow sources stay SEPARATE so the caller can re-plan each
-        # correctly (exchange -> more slack; window -> replan_from_span
-        # from the measured span; heavy -> a larger heavy_build_cap)
+        # max required probe span, heavy-build-cap overflow count,
+        # select-overflow count]: the overflow sources stay SEPARATE so
+        # the caller can re-plan each correctly (exchange -> more slack;
+        # window -> replan_from_span from the measured span; heavy -> a
+        # larger heavy_build_cap; select -> gather_select="flat")
         diag = jnp.stack([
             jax.lax.psum(overflow.astype(jnp.int32), axis),
             jax.lax.psum(
@@ -295,6 +311,10 @@ def make_cpra_step(
                 _engine_span(res, local_plan).astype(jnp.int32), axis
             ),
             jax.lax.psum(heavy_ovf.astype(jnp.int32), axis),
+            jax.lax.psum(
+                _engine_select_overflow(res, local_plan).astype(jnp.int32),
+                axis,
+            ),
         ])
         return res, heavy, diag
 
@@ -463,9 +483,11 @@ def make_cpra_step_pipelined(
               for f in ("probe_keys", "probe_vals", "match_vals",
                         "match_cnts", "build_counts"))
         )
-        # merge-mode build_counts per part = [overflow_tiles, max_span]:
-        # fold only the overflow entries
-        overflow |= jnp.sum(res.build_counts.reshape(-1, 2)[:, 0]) > 0
+        # merge-mode build_counts per part = [overflow_tiles, max_span,
+        # select_overflow]: fold the two overflow entries (span is a
+        # measurement, not a failure signal)
+        bc3 = res.build_counts.reshape(-1, 3)
+        overflow |= jnp.sum(bc3[:, 0] + bc3[:, 2]) > 0
         overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
         return res, overflow
 
@@ -634,8 +656,9 @@ def cpra_join(
         step = make_cpra_step(mesh, plan, inner_cap, outer_cap, axis,
                               skew=skew, tier_ratio=tier_ratio, **skew_kw)
         res, heavy, diag = step(*args)
-        exch_ovf, eng_ovf, span, heavy_ovf = (
-            int(diag[0]), int(diag[1]), int(diag[2]), int(diag[3])
+        exch_ovf, eng_ovf, span, heavy_ovf, sel_ovf = (
+            int(diag[0]), int(diag[1]), int(diag[2]), int(diag[3]),
+            int(diag[4]),
         )
         if exch_ovf == 0 and eng_ovf == 0 and heavy_ovf == 0:
             if skew:
@@ -663,9 +686,17 @@ def cpra_join(
                     "or the pass fanout -- window re-planning cannot fix "
                     "this"
                 )
-            # size the next window from the measured span, shared with
-            # the single-chip re-planner
-            plan = replan_from_span(plan, span)
+            if sel_ovf:
+                # counted plan-optimization violation (rowbase slice
+                # miss / unique_build duplicates): downgrade to the
+                # unconditionally-exact flags, no geometry change
+                from ..engine.phj import downgrade_plan_opts
+
+                plan = downgrade_plan_opts(plan)
+            if eng_ovf > sel_ovf:
+                # size the next window from the measured span, shared
+                # with the single-chip re-planner
+                plan = replan_from_span(plan, span)
     # diagnose by the signal that actually persisted on the LAST attempt
     # (the separated diag exists exactly so these aren't conflated)
     if heavy_ovf:

@@ -58,6 +58,7 @@ fragments).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -86,7 +87,12 @@ from ..engine.grace import (
 from ..engine.phj import JoinResult, phj_join, replan_from_span
 from ..ops.radix_partition_pallas import radix_partition_pallas
 from ..utils.hashing import hashed_key, mod_inverse_u32, np_hashed_key
-from .cpra import _engine_overflow, _engine_span, _owner_bits
+from .cpra import (
+    _engine_overflow,
+    _engine_select_overflow,
+    _engine_span,
+    _owner_bits,
+)
 from .distributed import require_live_mesh
 
 
@@ -203,7 +209,9 @@ def _partition_side_dist(
 @functools.lru_cache(maxsize=64)
 def _make_join_step(mesh: Mesh, axis: str, local_plan: JoinPlan):
     """Phase-2 round: every device joins its round's partition pair.
-    diag = [psum'd engine overflow count, pmax'd measured span].
+    diag = [psum'd engine overflow count, pmax'd measured span, psum'd
+    rowbase select-overflow count] (the select count is the part of
+    entry 0 whose fix is gather_select="flat", not a wider window).
     lru-cached for the same recompile reason as _make_partition_step."""
 
     def step(bk, bv, pk, pv):
@@ -214,6 +222,10 @@ def _make_join_step(mesh: Mesh, axis: str, local_plan: JoinPlan):
             ),
             jax.lax.pmax(
                 _engine_span(res, local_plan).astype(jnp.int32), axis
+            ),
+            jax.lax.psum(
+                _engine_select_overflow(res, local_plan).astype(jnp.int32),
+                axis,
             ),
         ])
         return res, diag
@@ -366,8 +378,17 @@ def grace_join_dist(
             ) == 0:
                 break
             span = int(diag[1])
+            sel_ovf = int(diag[2])
+            win_ovf = int(diag[0]) - sel_ovf
             res = None
-            local = replan_from_span(local, span)
+            if sel_ovf:
+                # counted plan-optimization violation: downgrade (exact
+                # for any input); no geometry change needed
+                from ..engine.phj import downgrade_plan_opts
+
+                local = downgrade_plan_opts(local)
+            if win_ovf:
+                local = replan_from_span(local, span)
         if res is None or (
             local.probe_impl.startswith("merge") and int(diag[0]) != 0
         ):

@@ -123,11 +123,12 @@ def main():
     mv_o, mc_o = merge_probe_jnp(
         jnp.asarray(ohk_g), jnp.asarray(bhk_g).reshape(g_rows, 128),
         jnp.asarray(bval_g).reshape(g_rows, 128), wrow_g, 1024, 118 * 128)
-    for sel in ("flat", "hier"):
-        mv_g, mc_g = merge_probe_gather(
+    for sel in ("flat", "hier", "rowbase"):
+        mv_g, mc_g, sovf_g = merge_probe_gather(
             jnp.asarray(ohk_g), jnp.asarray(bhk_g).reshape(g_rows, 128),
             jnp.asarray(bval_g).reshape(g_rows, 128), wrow_g,
-            1024, 118 * 128, select=sel)
+            1024, 118 * 128, select=sel, k_sel=40)
+        assert int(sovf_g) == 0, (sel, int(sovf_g))
         assert np.array_equal(np.asarray(mc_g), np.asarray(mc_o)), sel
         assert np.array_equal(np.asarray(mv_g), np.asarray(mv_o)), sel
         checks += 1

@@ -271,3 +271,30 @@ def test_cpra_join_odd_relation_sizes():
     res, _ = cpra_join(ik, iv, ok, ov, mesh, slack=4.0)
     want = join_oracle(ik, iv, ok, ov)
     assert int(np.asarray(res.join_tuples).sum()) == len(want[0])
+
+
+def test_engine_overflow_includes_select_overflow():
+    """The distributed drivers' overflow accessor must surface BOTH merge
+    overflow channels (window tiles + rowbase select rows) while the
+    span accessor and select accessor stay separate -- conflating them
+    was the r2 blind-doubling bug class."""
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.phj import JoinResult
+    from hash_join_codes_knl_tpu.parallel.cpra import (
+        _engine_overflow,
+        _engine_select_overflow,
+        _engine_span,
+    )
+
+    z = jnp.zeros(4, jnp.uint32)
+    merge_plan = JoinPlan(p_bits=4, slots=64, tile=128, probe_impl="merge")
+    res = JoinResult(z, z, z, jnp.zeros(4, jnp.int32),
+                     jnp.asarray([0, 512, 3], jnp.int32))
+    assert int(_engine_overflow(res, merge_plan)) == 3
+    assert int(_engine_span(res, merge_plan)) == 512
+    assert int(_engine_select_overflow(res, merge_plan)) == 3
+    res2 = JoinResult(z, z, z, jnp.zeros(4, jnp.int32),
+                      jnp.asarray([2, 900, 0], jnp.int32))
+    assert int(_engine_overflow(res2, merge_plan)) == 2
+    assert int(_engine_select_overflow(res2, merge_plan)) == 0

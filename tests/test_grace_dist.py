@@ -34,10 +34,10 @@ def test_grace_dist_matches_oracle(tmp_path, workload):
     rows = []
 
     def collect(meta, res, raw_pk):
-        # on_partition gets the single-chip drivers' 2-entry merge-diag
-        # contract in build_counts ([overflow, span]), not the raw
-        # mesh-concatenated per-device array
-        assert len(np.asarray(res.build_counts)) == 2
+        # on_partition gets the single-chip drivers' 3-entry merge-diag
+        # contract in build_counts ([overflow, span, select-overflow]),
+        # not the raw mesh-concatenated per-device array
+        assert len(np.asarray(res.build_counts)) == 3
         mc = np.asarray(res.match_cnts)
         m = mc == 1
         rows.append((raw_pk[m], np.asarray(res.probe_vals)[m],

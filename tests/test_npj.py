@@ -206,7 +206,12 @@ def test_npj_sorted_span_clamps_to_table_end():
     end, so a whole-table window is NOT flagged as overflow (regression:
     hi + max_disp + 1 overshot `size` and npj_join raised on a join the
     window fully covered)."""
-    plan = NpjPlan(buckets=1 << 14)  # margin 4096, size 20480
+    # margin 4096, size 12288 slots = 96 window chunks -- inside the
+    # dense kernel's r4-recalibrated ROWCHUNK_BUDGET ceiling (a 1<<14
+    # table needs a 160-chunk whole-table window, past the measured
+    # scoped-vmem boundary; the clamp semantics under test are
+    # size-independent)
+    plan = NpjPlan(buckets=1 << 13)
     rng = np.random.default_rng(9)
     pool = np.unique(rng.integers(1, 2**32, 400_000, dtype=np.uint32))
     h0 = np_range_hash(pool, plan.factor, plan.buckets)
@@ -222,3 +227,22 @@ def test_npj_sorted_span_clamps_to_table_end():
     ok = np.concatenate([tail, mid[:100]]).astype(np.uint32)
     mv, mc, _ = npj_join(ik, iv, ok, ok, plan)
     assert np.asarray(mc).min() == 1  # every probe found its row
+
+
+def test_npj_sorted_tile_shrink_replan():
+    """Probe counts a small fraction of the table: tile spans exceed the
+    widest compilable window at tile 2048 (the r4 scoped-vmem ceiling),
+    and the driver must shrink the TILE (spans scale with tile, the cap
+    scales inversely) instead of raising."""
+    plan = NpjPlan(buckets=1 << 17)  # table 135168 slots >> window cap
+    rng = np.random.default_rng(13)
+    ik = np.unique(rng.integers(1, 2**32, 400_000, dtype=np.uint32))[:100_000]
+    iv = (np.arange(len(ik), dtype=np.uint32) + 1)
+    ok = ik[rng.integers(0, len(ik), 2048)].astype(np.uint32)
+    # premise: the auto window at tile 2048 cannot cover a tile's span
+    assert plan.auto_window(len(ok)) >= plan.max_window or \
+        plan.table_size > plan.max_window
+    mv, mc, plan_out = npj_join(ik, iv, ok, ok, plan)
+    assert plan_out.tile < 2048  # the shrink happened
+    assert np.asarray(mc).min() == 1  # every probe found its row
+    assert np.array_equal(np.asarray(mv), iv[np.searchsorted(ik, ok)])

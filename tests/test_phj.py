@@ -16,7 +16,7 @@ from hash_join_codes_knl_tpu.relgen.generate import generate
 def _check_against_oracle(inner, outer):
     res, plan = join(inner.keys, inner.vals, outer.keys, outer.vals)
     if plan.probe_impl.startswith("merge"):
-        # merge mode: build_counts = [overflow_tiles, max_span]
+        # merge mode: build_counts = [overflow_tiles, max_span, sel_ovf]
         assert int(np.asarray(res.build_counts)[0]) == 0, "overflow"
     else:
         assert int(np.asarray(res.build_counts).max()) <= plan.slots, \
@@ -436,3 +436,188 @@ def test_merge_params_rejects_uncompilable_explicit_window():
                     window=40_000)  # > (2904//24)*128 = 15488 at t3072
     with pytest.raises(ValueError, match="ceiling"):
         _merge_params(plan, 1 << 20, 1 << 24)
+
+
+def test_rowbase_select_overflow_falls_back_to_flat():
+    """A build-side duplicate run wider than the rowbase K-slice: the
+    kernel COUNTS the miss (build_counts[2]) instead of silently
+    under-counting, and join() re-plans to the flat select with exact
+    results and unchanged geometry."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hash_join_codes_knl_tpu.engine.phj import (
+        _rowbase_k,
+        join,
+        phj_join,
+    )
+
+    rng = np.random.default_rng(51)
+    # build: ~30 rows of distinct keys plus one 3000-duplicate run
+    # (~23 chunks of window span -- far beyond the K=16 slice at this
+    # geometry)
+    uniq = np.unique(rng.integers(1, 2**32, 2000, dtype=np.uint32))[:840]
+    ik = np.concatenate([uniq, np.full(3000, uniq[400], np.uint32)])
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    ok = uniq[rng.integers(0, 840, 16384)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 16384, dtype=np.uint32)
+    plan = JoinPlan(p_bits=4, slots=256, tile=2048, pass_bits=(4,),
+                    probe_impl="merge_gather", window=4096,
+                    gather_select="rowbase")
+    assert _rowbase_k(4096, 2048) == 16  # the slice the run overflows
+    with pltpu.force_tpu_interpret_mode():
+        first = phj_join(jnp.asarray(ik), jnp.asarray(iv),
+                         jnp.asarray(ok), jnp.asarray(ov), plan)
+        bc = np.asarray(first.build_counts)
+        assert int(bc[0]) == 0, "window must cover the run"
+        assert int(bc[2]) > 0, "the K-slice miss must be COUNTED"
+        res, plan_out = join(ik, iv, ok, ov, plan)
+    assert plan_out.gather_select == "flat"
+    assert plan_out.window == plan.window  # geometry unchanged
+    bc = np.asarray(res.build_counts)
+    assert int(bc[0]) == 0 and int(bc[2]) == 0
+    # exact against the flat select run directly
+    with pltpu.force_tpu_interpret_mode():
+        want = phj_join(
+            jnp.asarray(ik), jnp.asarray(iv), jnp.asarray(ok),
+            jnp.asarray(ov),
+            dataclasses.replace(plan, gather_select="flat"),
+        )
+    np.testing.assert_array_equal(np.asarray(res.match_cnts),
+                                  np.asarray(want.match_cnts))
+    np.testing.assert_array_equal(np.asarray(res.match_vals),
+                                  np.asarray(want.match_vals))
+    assert int(np.asarray(first.match_cnts).sum()) < int(
+        np.asarray(res.match_cnts).sum()
+    ), "the overflowing attempt under-counted (the bug being prevented)"
+
+
+def test_rowbase_select_clean_path_and_auto_policy(monkeypatch):
+    """rowbase on a uniform workload: no overflow, exact through join(),
+    and the auto policy picks rowbase only when the K-slice is
+    comfortably narrower than the window."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import hash_join_codes_knl_tpu.engine.phj as phj_mod
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan as JP
+    from hash_join_codes_knl_tpu.engine.phj import (
+        _gather_select,
+        _rowbase_k,
+        join,
+    )
+
+    # policy (with the rowbase auto flag on): production geometry
+    # (tile 3072, W=118) -> rowbase; narrow tiles (zipf re-planned
+    # tile 1024) -> flat (3K > W)
+    monkeypatch.setattr(phj_mod, "_AUTO_ROWBASE", True)
+    assert _gather_select(JP(p_bits=4, slots=64, tile=3072),
+                          118 * 128) == "rowbase"
+    assert _gather_select(JP(p_bits=4, slots=64, tile=1024),
+                          118 * 128) == "flat"
+    assert _rowbase_k(118 * 128, 3072) == 16
+    monkeypatch.setattr(phj_mod, "_AUTO_ROWBASE", False)
+    assert _gather_select(JP(p_bits=4, slots=64, tile=3072),
+                          118 * 128) == "flat"
+
+    rng = np.random.default_rng(52)
+    ik = np.unique(rng.integers(1, 2**32, 4000, dtype=np.uint32))[:3840]
+    iv = rng.integers(0, 2**32, 3840, dtype=np.uint32)
+    ok = ik[rng.integers(0, 3840, 16384)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 16384, dtype=np.uint32)
+    plan = JP(p_bits=4, slots=256, tile=2048, pass_bits=(4,),
+              probe_impl="merge_gather", window=4096,
+              gather_select="rowbase")
+    with pltpu.force_tpu_interpret_mode():
+        res, plan_out = join(ik, iv, ok, ov, plan)
+    assert plan_out.gather_select == "rowbase"  # no fallback needed
+    bc = np.asarray(res.build_counts)
+    assert int(bc[0]) == 0 and int(bc[2]) == 0
+    k, v, t = materialize(res)
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert multiset_digest(k, v, t) == want
+
+
+def test_merge_windows_fused_scan_identities():
+    """The fused single-scan windows stage must agree with the naive
+    per-search formulation on adversarial layouts: duplicate keys
+    straddling row boundaries, keys at the u32 domain top (where the
+    right(x) == left(x+1) identity wraps), and build-side pads."""
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.phj import _merge_windows
+
+    rng = np.random.default_rng(91)
+    rows_total = 64
+    n_build = rows_total * 128
+    bhk = rng.integers(1, 2**32, n_build, dtype=np.uint32)
+    bhk[:400] = 0  # pads sort to the front
+    bhk[-700:] = 0xFFFFFFFF  # a run at the key-domain top
+    bhk[2000:2600] = bhk[2000]  # a duplicate run crossing rows
+    bhk = np.sort(bhk)
+    tile, window = 512, 1280
+    cap = 16 * tile
+    ohk = np.sort(np.concatenate([
+        bhk[rng.integers(0, n_build, cap - 900)],
+        np.full(500, 0xFFFFFFFF, np.uint32),   # probe the wrap edge
+        np.zeros(400, np.uint32),              # probe pads
+    ]).astype(np.uint32))
+    wrow, stats = _merge_windows(jnp.asarray(bhk), jnp.asarray(ohk),
+                                 tile, window, rows_total)
+    # naive reference formulation (numpy)
+    lo = ohk[::tile]
+    hi = ohk[tile - 1 :: tile]
+    coarse = bhk.reshape(rows_total, 128)[:, 0]
+    wrow0 = np.searchsorted(coarse, lo, side="left").astype(np.int32) - 1
+    hi_row0 = np.searchsorted(coarse, hi, side="right").astype(np.int32)
+    first_real = np.searchsorted(coarse, 1, side="left") - 1
+    wrow0 = np.maximum(wrow0, first_real)
+    wrow0 = np.clip(wrow0, 0, rows_total - window // 128)
+    span0 = (hi_row0 - wrow0) * 128
+    np.testing.assert_array_equal(np.asarray(wrow), wrow0)
+    assert int(stats[0]) == int((span0 > window).sum())
+    assert int(stats[1]) == int(span0.max())
+
+
+def test_unique_build_skips_secondary_sort_and_validates():
+    """plan.unique_build (the reference's -D_UNIQUE analog,
+    npj.cpp:954-956): exact on genuinely unique build keys, and a
+    COUNTED violation + automatic downgrade on duplicate builds --
+    never a silently non-maximal match value."""
+    rng = np.random.default_rng(61)
+    ik = np.unique(rng.integers(1, 2**32, 4000, dtype=np.uint32))[:2048]
+    iv = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    ok = ik[rng.integers(0, 2048, 8192)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 8192, dtype=np.uint32)
+    plan = JoinPlan(p_bits=4, slots=256, tile=256, pass_bits=(4,),
+                    probe_impl="merge", window=2048, unique_build=True)
+    res, plan_out = join(ik, iv, ok, ov, plan)
+    assert plan_out.unique_build  # no downgrade on clean input
+    bc = np.asarray(res.build_counts)
+    assert int(bc[0]) == 0 and int(bc[2]) == 0
+    k, v, t = materialize(res)
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert multiset_digest(k, v, t) == want
+
+    # duplicate build keys under a (wrong) unique declaration: the
+    # engine counts the violation and join() downgrades to the exact
+    # num_keys=2 path -- max-val semantics preserved
+    ik2 = np.concatenate([ik, ik[:512]])
+    iv2 = rng.integers(0, 2**32, len(ik2), dtype=np.uint32)
+    from hash_join_codes_knl_tpu.engine.phj import phj_join
+
+    import jax.numpy as jnp
+    first = phj_join(jnp.asarray(ik2), jnp.asarray(iv2), jnp.asarray(ok),
+                     jnp.asarray(ov), plan)
+    assert int(np.asarray(first.build_counts)[2]) == 512  # counted
+    res2, plan2 = join(ik2, iv2, ok, ov, plan)
+    assert not plan2.unique_build  # downgraded
+    assert int(np.asarray(res2.build_counts)[2]) == 0
+    # exact M:N counts and MAX match values against the oracle
+    from hash_join_codes_knl_tpu.engine.phj import materialize_expanded
+
+    k2, v2, t2 = materialize_expanded(res2, ik2, iv2)
+    want2 = multiset_digest(*join_oracle(ik2, iv2, ok, ov))
+    assert multiset_digest(k2, v2, t2) == want2

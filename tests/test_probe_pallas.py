@@ -150,19 +150,42 @@ def _gather_case(bhk, bval, ohk, tile, window):
     wrow, stats = _merge_windows(jnp.asarray(bhk), ohk_j, tile, window, rows)
     assert int(stats[0]) == 0
     mv0, mc0 = merge_probe_jnp(ohk_j, bhk2, bval2, wrow, tile, window)
-    # both select engines at the production row_skip=False default, plus
-    # the row_skip=True ablation path (HJK_GATHER_ROW_SKIP) once
+    # every select engine at the production row_skip=False default, plus
+    # the row_skip=True ablation path (HJK_GATHER_ROW_SKIP) once.
+    # rowbase runs with a FULL-window slice (k_sel=window//128, never
+    # overflows -- the narrow-slice overflow path has its own test)
     for select, row_skip in (("flat", False), ("hier", False),
-                             ("flat", True)):
+                             ("rowbase", False), ("flat", True)):
         with pltpu.force_tpu_interpret_mode():
-            mv1, mc1 = merge_probe_gather(ohk_j, bhk2, bval2, wrow, tile,
-                                          window, select=select,
-                                          row_skip=row_skip)
+            mv1, mc1, sovf = merge_probe_gather(
+                ohk_j, bhk2, bval2, wrow, tile, window, select=select,
+                row_skip=row_skip, k_sel=window // 128,
+            )
+        assert int(sovf) == 0, f"{select} skip={row_skip}"
         np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0),
                                       err_msg=f"{select} skip={row_skip}")
         np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0),
                                       err_msg=f"{select} skip={row_skip}")
-    return np.asarray(mc1)
+    mc_exact = np.asarray(mc1)
+    # narrow-slice rowbase: the production shape (k_sel < window chunks).
+    # The kernel contract is "sovf == 0 implies exact"; a case whose
+    # spans exceed the slice must COUNT it (never return silently wrong
+    # results), which the long-duplicate-run case exercises.
+    if window // 128 > 8:
+        with pltpu.force_tpu_interpret_mode():
+            mv1, mc1, sovf = merge_probe_gather(
+                ohk_j, bhk2, bval2, wrow, tile, window,
+                select="rowbase", k_sel=8,
+            )
+        if int(sovf) == 0:
+            np.testing.assert_array_equal(np.asarray(mc1), np.asarray(mc0),
+                                          err_msg="rowbase k=8")
+            np.testing.assert_array_equal(np.asarray(mv1), np.asarray(mv0),
+                                          err_msg="rowbase k=8")
+        else:
+            assert (np.asarray(mc1) <= np.asarray(mc0)).all(), \
+                "overflowing rowbase may under-count, never over-count"
+    return mc_exact
 
 
 def test_merge_probe_gather_uniform():
