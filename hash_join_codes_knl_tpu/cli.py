@@ -310,7 +310,14 @@ def main(argv=None):
         if args.timelog and plan.probe_impl.startswith("merge"):
             res = phj_join_merge_staged(ik, iv, ok, ov, plan, timer)
             bc = np.asarray(res.build_counts)
-            if int(bc[0]) != 0 or int(bc[2]) != 0:
+            if int(bc[2]) != 0:
+                # plan-opt violation (unique_build duplicates / rowbase
+                # slice miss): widening the window can never fix this
+                print("PLAN-OPT VIOLATION (unique_build/gather_select): "
+                      "re-run without --timelog (auto downgrade) or drop "
+                      "the flag via --config", file=sys.stderr)
+                return 1
+            if int(bc[0]) != 0:
                 # the staged path pins its geometry for phase metering,
                 # so overflow cannot be re-planned here -- report it
                 # (never silent) and point at the auto re-planner

@@ -292,13 +292,21 @@ def _rowbase_k(window: int, tile: int) -> int:
 
 
 def _gather_select(plan: JoinPlan, window: int) -> str:
-    sel = _GATHER_SELECT or plan.gather_select
-    if sel == "auto":
-        if not _AUTO_ROWBASE:
-            return "flat"
-        k = _rowbase_k(window, plan.tile)
-        return "rowbase" if 3 * k <= window // 128 else "flat"
-    return sel
+    # an EXPLICIT plan value beats the env override: the downgrade
+    # re-planner (downgrade_plan_opts) works by setting the plan to
+    # "flat", and it must win even under HJK_GATHER_SELECT A/B forcing
+    # -- otherwise every driver's retry loop re-runs the identical
+    # failing kernel.  The env var steers only "auto" plans (the A/B
+    # harness measures the staged pipeline, which never retries).
+    if plan.gather_select != "auto":
+        return plan.gather_select
+    sel = _GATHER_SELECT
+    if sel and sel != "auto":
+        return sel
+    if not _AUTO_ROWBASE:
+        return "flat"
+    k = _rowbase_k(window, plan.tile)
+    return "rowbase" if 3 * k <= window // 128 else "flat"
 
 
 def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
@@ -325,12 +333,16 @@ def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
     inv = jnp.uint32(mod_inverse_u32(plan.factor))
     # build_counts in merge mode: [overflow_tile_count, max_required_span,
     # plan-optimization violation count].  The third entry is the shared
-    # downgrade channel: probe rows the rowbase K-slice could not cover,
+    # downgrade channel: probe lanes the rowbase K-slice could not cover,
     # PLUS adjacent duplicate build keys under unique_build (either
     # means the optimized plan's results cannot be trusted); nonzero ->
-    # the caller re-plans with downgrade_plan_opts (geometry unchanged)
+    # the caller re-plans with downgrade_plan_opts (geometry unchanged).
+    # Only the GATHER kernel's max-val relies on the value-secondary
+    # run order, so a unique_build violation matters (and is counted)
+    # only there -- the dense sweep and the jnp oracle take the max
+    # over every equal slot, order-independently exact with num_keys=1.
     viol = sovf.astype(jnp.int32)
-    if plan.unique_build:
+    if plan.unique_build and impl == "merge_gather":
         viol = viol + jnp.sum(
             ((bhk[1:] == bhk[:-1]) & (bhk[1:] != 0)).astype(jnp.int32)
         )
@@ -647,12 +659,8 @@ def join(
                 # a counted plan-optimization violation (rowbase K-slice
                 # miss or unique_build duplicates): results cannot be
                 # trusted; downgrade to the unconditionally-exact flags
-                if _GATHER_SELECT == "rowbase":
-                    raise RuntimeError(
-                        "rowbase select overflow with HJK_GATHER_SELECT "
-                        "forcing rowbase: unset the override or raise "
-                        "k_sel (the auto policy falls back to flat)"
-                    )
+                # (the explicit downgraded plan beats any env override,
+                # see _gather_select)
                 plan = downgrade_plan_opts(plan)
             if win_ovf:
                 plan = replan_from_span(plan, span)

@@ -18,8 +18,13 @@ rows on v5e -- both unusable at join-output scale):
 3. a second stable sort compacts the run-start rows to the front (the
    standard sort-based compaction, as ops/filter.py), and
 4. group totals fall out as neighbor differences of the compacted
-   prefix column: sum_j = prefix_{j+1} - prefix_j (the last group
+   prefix columns: sum_j = prefix_{j+1} - prefix_j (the last group
    closes against the grand total).
+
+That scheme is implemented ONCE (`_reduce_runs`, batched over rows
+with any number of value columns) and serves three surfaces: the
+single-level `hash_aggregate`, the per-chunk partial pass of
+`hash_aggregate_chunked`, and its partial re-aggregation level.
 
 Aggregates are exact u32 wraparound sums / counts (the engine's value
 domain), packed to the front like every compacted output.
@@ -27,10 +32,81 @@ domain), packed to the front like every compacted output.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from .partition import PAD_KEY
+
+
+def _reduce_runs(k_s, vcols):
+    """Per-row run reduction of batched-sorted columns.
+
+    k_s: (C, m) keys, each row independently sorted with null-key
+    (PAD_KEY) rows LAST (the keys-1 sort trick); vcols: tuple of (C, m)
+    u32 value columns in the same order.  Returns (gk, sums, cnts, g):
+    each row's run-start keys compacted to its front (PAD_KEY tails),
+    the per-run u32 wraparound sum of every value column, the run
+    lengths, and g = groups per row.  C == 1 uses 1-D sorts internally
+    (a (1, n) dimension=1 sort takes XLA's much slower batched path --
+    PERF_NOTES "batched pair sort": (1, 256M) = 6.7 s vs 0.9 s)."""
+    C, m = k_s.shape
+    valid = k_s != PAD_KEY
+    newrun = jnp.concatenate(
+        [jnp.ones((C, 1), bool), k_s[:, 1:] != k_s[:, :-1]], axis=1
+    )
+    newrun &= valid
+    pres = []
+    tots = []
+    for v in vcols:
+        v_live = jnp.where(valid, v, jnp.uint32(0))
+        csum = jnp.cumsum(v_live, axis=1, dtype=jnp.uint32)
+        pres.append(csum - v_live)  # prefix BEFORE each row's run start
+        tots.append(csum[:, m - 1 : m])
+    # run-length prefix: valid rows are a per-row prefix after the sort,
+    # so the count of rows before a run start is its column index
+    pres.append(jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.uint32)[None, :], (C, m)
+    ))
+    tots.append(jnp.sum(valid.astype(jnp.uint32), axis=1, keepdims=True))
+    # compact run starts to the front, preserving key order (stable sort
+    # on the start flag); the prefix columns ride along
+    flag = jnp.where(newrun, jnp.uint32(0), jnp.uint32(1))
+    ops = (flag, k_s, *pres)
+    if C == 1:
+        sorted_ops = jax.lax.sort(
+            tuple(o.reshape(-1) for o in ops), num_keys=1, is_stable=True
+        )
+        sorted_ops = tuple(o.reshape(1, m) for o in sorted_ops)
+    else:
+        sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1,
+                                  is_stable=True)
+    gk = sorted_ops[1]
+    ps = sorted_ops[2:]
+    g = jnp.sum(newrun.astype(jnp.uint32), axis=1)  # (C,) groups per row
+    j = jnp.broadcast_to(jnp.arange(m, dtype=jnp.uint32)[None, :], (C, m))
+    live = j < g[:, None]
+    last = j + 1 == g[:, None]
+    outs = []
+    for p, tot in zip(ps, tots):
+        nxt = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        red = jnp.where(last, tot - p, nxt - p)
+        outs.append(jnp.where(live, red, jnp.uint32(0)))
+    gk = jnp.where(live, gk, jnp.uint32(PAD_KEY))
+    return gk, tuple(outs[:-1]), outs[-1], g
+
+
+def _null_last_sort(keys, vcols, dimension=None):
+    """Sort (keys, *vcols) on keys-1: an order-preserving u32 bijection
+    for nonzero keys that wraps the null key 0 to 0xFFFFFFFF, so null
+    rows sort LAST with no extra flag column."""
+    ops = (keys - jnp.uint32(1), *vcols)
+    if dimension is None:
+        out = jax.lax.sort(ops, num_keys=1)
+    else:
+        out = jax.lax.sort(ops, dimension=dimension, num_keys=1)
+    return (out[0] + jnp.uint32(1), *out[1:])
 
 
 def hash_aggregate(keys: jnp.ndarray, vals: jnp.ndarray):
@@ -42,45 +118,90 @@ def hash_aggregate(keys: jnp.ndarray, vals: jnp.ndarray):
     """
     n = keys.shape[0]
     if n == 0:
-        # static-shape early exit: the run-boundary concatenate below
-        # builds a (1,) flag against a (0,) mask (trace-time error), and
-        # csum[n-1] would index out of bounds
+        # static-shape early exit: _reduce_runs' run-boundary
+        # concatenate builds a (C, 1) flag against a (C, 0) mask
+        # (trace-time error) on empty input
         z = jnp.zeros(0, jnp.uint32)
         return jnp.uint32(0), z, z, jnp.zeros(0, jnp.int32)
-    # sort on keys-1 (order-preserving u32 bijection for nonzero keys;
-    # the null key 0 wraps to 0xFFFFFFFF and sorts LAST)
-    km1_s, v_s = jax.lax.sort((keys - jnp.uint32(1), vals), num_keys=1)
-    k_s = km1_s + jnp.uint32(1)
-    valid = k_s != PAD_KEY
-    newrun = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
-    newrun &= valid
-    v_live = jnp.where(valid, v_s, jnp.uint32(0))
-    csum = jnp.cumsum(v_live, dtype=jnp.uint32)  # u32 wraparound is exact
-    # each run-start row carries the cumsum BEFORE its run -- computed
-    # locally (csum[i] - v[i]); its prefix COUNT is its row index (the
-    # valid rows are a contiguous prefix after the sort)
-    pre_sum = csum - v_live
-    pre_cnt = jnp.arange(n, dtype=jnp.uint32)
-    # compact run starts to the front, preserving key order (stable sort
-    # on the start flag); their prefix columns ride along
-    flag = jnp.where(newrun, jnp.uint32(0), jnp.uint32(1))
-    _, gk, ps, pc = jax.lax.sort((flag, k_s, pre_sum, pre_cnt),
-                                 num_keys=1, is_stable=True)
-    n_groups = jnp.sum(newrun.astype(jnp.uint32))
-    # group j's total = prefix of group j+1 minus its own prefix; the
-    # last group closes against the grand totals
-    tot_s = csum[n - 1]
-    tot_c = jnp.sum(valid.astype(jnp.uint32))
-    nxt_s = jnp.concatenate([ps[1:], ps[-1:]])
-    nxt_c = jnp.concatenate([pc[1:], pc[-1:]])
-    j = jnp.arange(n, dtype=jnp.uint32)
-    sums = jnp.where(j + 1 < n_groups, nxt_s - ps, tot_s - ps)
-    counts = jnp.where(j + 1 < n_groups, nxt_c - pc, tot_c - pc)
-    live = j < n_groups
-    gkeys = jnp.where(live, gk, jnp.uint32(PAD_KEY))
-    sums = jnp.where(live, sums, jnp.uint32(0))
-    counts = jnp.where(live, counts, jnp.uint32(0)).astype(jnp.int32)
-    return n_groups, gkeys, sums, counts
+    k_s, v_s = _null_last_sort(keys, (vals,))
+    gk, (sums,), counts, g = _reduce_runs(
+        k_s.reshape(1, n), (v_s.reshape(1, n),)
+    )
+    return (g[0], gk.reshape(-1), sums.reshape(-1),
+            counts.reshape(-1).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("chunks", "partial_cap"))
+def hash_aggregate_chunked(keys, vals, chunks: int = 64,
+                           partial_cap: int = 1 << 22):
+    """Two-level sort-group-reduce: per-chunk batched sorts + partial
+    aggregation, then one small aggregate over the packed partials.
+
+    Level 1 sorts the input as `chunks` INDEPENDENT rows (the same
+    batched-2-D-sort economics as the join's chunk-sorted probe,
+    PERF_NOTES "batched pair sort") and reduces each chunk's runs to
+    (key, partial sum, partial count) triples packed to the chunk's
+    front.  Level 2 re-aggregates the at-most-partial_cap partials:
+    sums add, counts add (a 2-value-column run reduction; the
+    compaction sort that dominates the single-level cost now runs at
+    partial size, not input size).  Wins when distinct groups << rows;
+    at groups ~ rows the partials don't shrink and `hash_aggregate` is
+    the right call.
+
+    partial_cap is a STATIC capacity (per chunk: partial_cap/chunks
+    slots).  A chunk with more groups than its slot budget OVERFLOWS:
+    the count of dropped partials is returned as a VALUE (engine
+    convention) and the results must be discarded in favor of
+    `hash_aggregate` -- `hash_aggregate_auto` does exactly that.
+
+    Returns (n_groups, group_keys, sums, counts, overflow) with the
+    group arrays sized chunks * (partial_cap // chunks) (packed to the
+    front, PAD_KEY/0 tails)."""
+    n = keys.shape[0]
+    if n == 0:
+        z = jnp.zeros(0, jnp.uint32)
+        return (jnp.uint32(0), z, z, jnp.zeros(0, jnp.int32),
+                jnp.zeros((), jnp.int32))
+    cap_c = max(1, partial_cap // chunks)
+    m = -(-n // chunks)
+    pad = chunks * m - n
+    k_p = jnp.concatenate([keys, jnp.zeros(pad, jnp.uint32)])
+    v_p = jnp.concatenate([vals, jnp.zeros(pad, jnp.uint32)])
+    k_s, v_s = _null_last_sort(
+        k_p.reshape(chunks, m), (v_p.reshape(chunks, m),), dimension=1
+    )
+    gk, (ps,), pc, g = _reduce_runs(k_s, (v_s,))
+    overflow = jnp.sum(jnp.maximum(g.astype(jnp.int32) - cap_c, 0))
+    # static per-chunk slice -- no gather; overflowing chunks lose
+    # their tail groups, which is exactly what `overflow` counts
+    gk_c = gk[:, :cap_c].reshape(-1)
+    ps_c = ps[:, :cap_c].reshape(-1)
+    pc_c = pc[:, :cap_c].reshape(-1)
+    # level 2: aggregate the partials -- sums AND counts both add, so
+    # the run reduction carries two value columns, at partial size
+    N2 = gk_c.shape[0]
+    k2, s2, c2 = _null_last_sort(gk_c, (ps_c, pc_c))
+    gk2, (sums, counts), _, g2 = _reduce_runs(
+        k2.reshape(1, N2), (s2.reshape(1, N2), c2.reshape(1, N2))
+    )
+    return (g2[0], gk2.reshape(-1), sums.reshape(-1),
+            counts.reshape(-1).astype(jnp.int32), overflow)
+
+
+def hash_aggregate_auto(keys, vals, chunks: int = 64,
+                        partial_cap: int = 1 << 22):
+    """Two-level aggregate with the exact fallback: runs
+    hash_aggregate_chunked and, if any chunk overflowed its partial
+    budget (too many distinct groups for the declared cap), discards
+    that attempt and re-runs the single-level `hash_aggregate` --
+    exact for any input, same return contract as hash_aggregate."""
+    n_groups, gk, sums, counts, ovf = hash_aggregate_chunked(
+        jnp.asarray(keys), jnp.asarray(vals), chunks=chunks,
+        partial_cap=partial_cap,
+    )
+    if int(ovf) != 0:
+        return hash_aggregate(jnp.asarray(keys), jnp.asarray(vals))
+    return n_groups, gk, sums, counts
 
 
 def aggregate_join_result(res):

@@ -312,10 +312,12 @@ def merge_probe_gather(
     correctness).  Exact match counts for any M:N.
 
     Returns (match_vals, match_cnts, select_overflow): the third value
-    counts probe rows whose span exceeded the rowbase boundary slice
-    (always 0 for "flat"/"hier"); a nonzero count means match results
-    are incomplete and the caller must re-run with select="flat" (the
-    engine's join() does this automatically).
+    counts probe LANES whose span exceeded the rowbase boundary slice
+    (always 0 for "flat"/"hier"; a const tile counts each of its
+    broadcast rows' lanes, consistent with per-row accumulation); any
+    nonzero means match results are incomplete and the caller must
+    re-run with select="flat" (the engine's join() does this
+    automatically).
 
     row_skip defaults False -- the measured production configuration
     (the per-row lax.cond ablation loses 2.2x, see the one_chunk
@@ -330,10 +332,13 @@ def merge_probe_gather(
     assert window % 128 == 0 and window // 128 <= 128, window
     assert k_sel >= 2, k_sel
     n_tiles = probe_hk.shape[0] // tile
+    has_sovf = select == "rowbase"
     kernel = make_window_probe_kernel(
         window // 128, n_tiles,
         _gather_row_result_factory(window // 128, row_skip, select,
                                    min(k_sel, window // 128)),
+        has_sovf=has_sovf,
     )
     return window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
-                             window_row, tile, window, interpret)
+                             window_row, tile, window, interpret,
+                             has_sovf=has_sovf)

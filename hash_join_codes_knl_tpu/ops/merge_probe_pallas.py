@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BIAS = -(2**31)
 
 
-def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
+def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory,
+                             has_sovf: bool = False):
     """Shared scaffolding for the windowed merge-probe kernels: SMEM
     staging of the per-tile window rows, double-buffered window DMAs, and
     the constant-tile fast-path dispatch.  `row_result_factory(kwin, vwin,
@@ -43,12 +44,20 @@ def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
     128) each) plus the probe block ref (for per-tile hoisted work) and
     returns fn(probe_row (1,128), r) -> (match_vals, match_cnts) or
     (match_vals, match_cnts, select_overflow); the dense and gather
-    probes differ only there.  Select-overflow counts (rowbase select's
-    "row spans more than its boundary slice" signal) accumulate into the
-    third kernel output; factories without the signal write zeros."""
+    probes differ only there.  has_sovf adds a third kernel output
+    accumulating the rowbase select's span-overflow lane counts --
+    CONDITIONAL because the extra per-tile store is pure cost for the
+    selects that cannot overflow (measured ~0.3 us/tile: a 5% zipf
+    regression at the re-planned 250K-tile geometry, r4)."""
 
     def kernel(wrow_hbm, probe_ref, bhk_hbm, bval_hbm,
-               mval_ref, mcnt_ref, sovf_ref, kbuf, vbuf, wbuf, sems, wsems):
+               mval_ref, mcnt_ref, *rest):
+        if has_sovf:
+            sovf_ref = rest[0]
+            kbuf, vbuf, wbuf, sems, wsems = rest[1:]
+        else:
+            sovf_ref = None
+            kbuf, vbuf, wbuf, sems, wsems = rest
         # window rows live in HBM as (n_chunks, 128) -- scalar-prefetch
         # would put the whole (n_tiles,) array in SMEM, which overflows at
         # large tile counts.  Every 128 tiles the kernel DMAs the current
@@ -136,11 +145,12 @@ def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
             for r in range(r_rows):
                 mval_ref[0, r : r + 1, :] = mv
                 mcnt_ref[0, r : r + 1, :] = cnt
-            # all rows identical: row 0's overflow signal stands for each
-            sovf_ref[0, 0:1, :] = (
-                jnp.zeros((1, 128), jnp.int32) if ovf is None
-                else ovf * r_rows
-            )
+            if sovf_ref is not None:
+                # all rows identical: row 0's lane flags stand for each
+                sovf_ref[0, 0:1, :] = (
+                    jnp.zeros((1, 128), jnp.int32) if ovf is None
+                    else ovf * r_rows
+                )
 
         @pl.when(jnp.logical_not(const_tile))
         def _():
@@ -151,18 +161,21 @@ def make_window_probe_kernel(w_chunks: int, n_tiles: int, row_result_factory):
                 mcnt_ref[0, r : r + 1, :] = cnt
                 if ovf is not None:
                     ovf_acc = ovf_acc + ovf
-            sovf_ref[0, 0:1, :] = ovf_acc
+            if sovf_ref is not None:
+                sovf_ref[0, 0:1, :] = ovf_acc
 
     return kernel
 
 
 def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
-                      window_row, tile: int, window: int, interpret: bool):
+                      window_row, tile: int, window: int, interpret: bool,
+                      has_sovf: bool = False):
     """Shared pallas_call wrapper for the windowed merge-probe kernels
     (grid/specs/scratch are identical across them).  Returns (match_vals,
-    match_cnts, select_overflow_total): the third value counts probe rows
-    whose rowbase boundary slice could not cover their span (0 for the
-    dense/flat/hier matchers, which select over the full window)."""
+    match_cnts, select_overflow_total): the third value counts probe
+    LANES whose rowbase boundary slice could not cover their span --
+    a constant 0 unless has_sovf (the rowbase select), whose kernel
+    emits the extra per-tile overflow output."""
     cap = probe_hk.shape[0]
     n_tiles = cap // tile
     r_rows = tile // 128
@@ -193,9 +206,8 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)] if has_sovf else []),
         scratch_shapes=[
             pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
             pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
@@ -204,17 +216,19 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    mv, mc, sovf = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.uint32),
             jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32)]
+             if has_sovf else []),
         interpret=interpret,
     )(wrow2, probe3d, build_hk2d, build_val2d)
-    return mv.reshape(cap), mc.reshape(cap), jnp.sum(sovf)
+    mv, mc = out[0], out[1]
+    sovf = jnp.sum(out[2]) if has_sovf else jnp.zeros((), jnp.int32)
+    return mv.reshape(cap), mc.reshape(cap), sovf
 
 
 def _dense_row_result_factory(w_chunks: int):
@@ -280,8 +294,9 @@ def merge_probe_pallas(
     kernel = make_window_probe_kernel(
         window // 128, n_tiles, _dense_row_result_factory(window // 128)
     )
-    mv, mc, _ = window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
-                                  window_row, tile, window, interpret)
+    mv, mc, _ = window_probe_call(kernel, probe_hk, build_hk2d,
+                                  build_val2d, window_row, tile, window,
+                                  interpret, has_sovf=False)
     return mv, mc
 
 

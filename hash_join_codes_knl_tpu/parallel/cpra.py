@@ -432,9 +432,16 @@ def make_cpra_step_pipelined(
     # hash-ordered below (_merge_sort_side), so the chunk-local window
     # widening _merge_params applies for probe_chunks>1 layouts would be
     # pure waste here (a window sized for spans that cannot occur)
-    local_plan = dataclasses.replace(
+    # ... and the opportunistic plan flags are pre-downgraded: the
+    # pipelined step hardcodes the value-secondary build sort below and
+    # has NO retry loop, so a unique_build/rowbase violation counted by
+    # _merge_probe would dead-end as an unfixable overflow flag (the
+    # cli --chunks driver's advice of raising caps could never clear it)
+    from ..engine.phj import downgrade_plan_opts
+
+    local_plan = downgrade_plan_opts(dataclasses.replace(
         plan, skip_bits=plan.skip_bits + c_bits, probe_chunks=1
-    )
+    ))
     chunk_cap = -(-outer_cap // chunks)
 
     def local_step(ik, iv, ok, ov):

@@ -409,14 +409,19 @@ def grace_join_dist(
                 raw_pk = (
                     pk.astype(np.uint64) * inv % (1 << 32)
                 ).astype(np.uint32)
-                # build_counts carries the [overflow, span] diag pair --
-                # the same 2-entry merge-diag contract on_partition
-                # consumers get from the single-chip driver (NOT the raw
-                # mesh-concatenated per-device build_counts)
+                # build_counts carries the single-chip 3-entry merge
+                # diag contract [window-overflow tiles, max span,
+                # plan-opt violations] (NOT the raw mesh-concatenated
+                # per-device build_counts).  diag[0] sums BOTH overflow
+                # channels (_engine_overflow), so the window-only count
+                # is recovered by subtracting the violation entry --
+                # a consumer re-planning from entry 0 must not treat a
+                # select-only violation as a window problem
+                d = np.asarray(diag)
                 res_slice = JoinResult(
                     pk, np.asarray(res.probe_vals)[sl],
                     np.asarray(res.match_vals)[sl], mc[sl],
-                    np.asarray(diag),
+                    np.asarray([d[0] - d[2], d[1], d[2]], np.int32),
                 )
                 on_partition(metas[p], res_slice, raw_pk)
     return GraceResult(total, metas, f_bits, reused_sides=dict(reused),

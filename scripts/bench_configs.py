@@ -83,7 +83,9 @@ def main():
     # "hash_aggregate_256M" must not get a silent no-op rerun)
     GATE_ROWS = {
         "phj_uniform": ("phj_uniform",),
-        "aggregate": ("hash_aggregate_256M",),
+        "aggregate": ("hash_aggregate_256M",
+                      "hash_aggregate_chunked_256M_64Kgroups",
+                      "hash_aggregate_256M_64Kgroups"),
         "npj_uniform_full": ("npj_uniform_full",),
         "zipf": ("phj_zipf_0.75", "phj_zipf_1.0"),
         "cpra": ("cpra",),
@@ -161,6 +163,62 @@ def main():
         record(f"hash_aggregate_{O//10**6}M", O, _sync_run(run_agg, reps=2),
                {"groups": I, "note": "sort-group-reduce, no scatter"})
         del run_agg
+
+        # two-level chunked aggregate at a low-cardinality grouping
+        # (64K groups over the same 256M rows): the batched chunk sorts
+        # + partial re-aggregation move the compaction sort from input
+        # size to partial size (ops/aggregate.py
+        # hash_aggregate_chunked).  Keys fold to 64K groups by masking;
+        # exactness cross-checked against the single-level result once.
+        from hash_join_codes_knl_tpu.ops.aggregate import (
+            hash_aggregate_chunked,
+        )
+
+        G_BITS = 16
+
+        @jax.jit
+        def _agg2_xor(k, v, rep):
+            kk = (k & jnp.uint32((1 << G_BITS) - 1)) + jnp.uint32(1)
+            return hash_aggregate_chunked(kk, v ^ rep, chunks=64,
+                                          partial_cap=1 << 23)
+
+        ng0, gk0, s0, c0, ovf0 = _agg2_xor(ok, ov, jnp.uint32(0))
+        assert int(ovf0) == 0
+        g0 = int(ng0)
+
+        @jax.jit
+        def _agg1_xor(k, v, rep):
+            kk = (k & jnp.uint32((1 << G_BITS) - 1)) + jnp.uint32(1)
+            return hash_aggregate(kk, v ^ rep)
+
+        ng1, gk1, s1, c1 = _agg1_xor(ok, ov, jnp.uint32(0))
+        assert int(ng1) == g0
+        assert np.array_equal(np.asarray(gk1)[:g0], np.asarray(gk0)[:g0])
+        assert np.array_equal(np.asarray(s1)[:g0], np.asarray(s0)[:g0])
+        del ng1, gk1, s1, c1, ng0, gk0, s0, c0
+
+        def run_agg2(rep):
+            ng, gk, s, c, ovf = _agg2_xor(ok, ov, jnp.uint32(rep))
+            assert int(ovf) == 0
+            assert int(ng) == g0
+            return g0
+
+        record(f"hash_aggregate_chunked_{O//10**6}M_64Kgroups", O,
+               _sync_run(run_agg2, reps=2),
+               {"groups": g0, "chunks": 64,
+                "note": "two-level batched-chunk sorts + partial "
+                        "re-aggregation; exact vs single-level"})
+
+        def run_agg1_lowcard(rep):
+            ng, gk, s, c = _agg1_xor(ok, ov, jnp.uint32(rep))
+            assert int(ng) == g0
+            return g0
+
+        record(f"hash_aggregate_{O//10**6}M_64Kgroups", O,
+               _sync_run(run_agg1_lowcard, reps=2),
+               {"groups": g0,
+                "note": "single-level baseline for the chunked row"})
+        del run_agg2, run_agg1_lowcard
 
     if want("npj_uniform_full"):
         # config 1 at the BASELINE shape: NPJ (one global table, sorted

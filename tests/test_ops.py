@@ -229,3 +229,67 @@ def test_expand_join_padded_sides():
         np.asarray(k)[:total], np.asarray(v)[:total], np.asarray(t)[:total]
     )
     assert got == multiset_digest(*want_rows)
+
+
+def test_hash_aggregate_chunked_matches_single_level():
+    """Two-level chunked aggregate == single-level on every column,
+    including u32 wraparound sums, null handling, and non-divisible
+    chunk geometry."""
+    from hash_join_codes_knl_tpu.ops.aggregate import (
+        hash_aggregate_auto,
+        hash_aggregate_chunked,
+    )
+
+    rng = np.random.default_rng(23)
+    for n, g_keys, chunks in ((30000, 400, 8), (9999, 77, 16),
+                              (5000, 4999, 4)):
+        pool = np.unique(
+            rng.integers(1, 2**32, g_keys + 100, dtype=np.uint32)
+        )[:g_keys]
+        keys = pool[rng.integers(0, g_keys, n)].astype(np.uint32)
+        keys[rng.integers(0, n, n // 20)] = 0  # nulls
+        vals = rng.integers(0, 2**32, n, dtype=np.uint32)
+        n0, k0, s0, c0 = hash_aggregate(jnp.asarray(keys),
+                                        jnp.asarray(vals))
+        n1, k1, s1, c1, ovf = hash_aggregate_chunked(
+            jnp.asarray(keys), jnp.asarray(vals), chunks=chunks,
+            partial_cap=chunks * -(-n // chunks),
+        )
+        g = int(n0)
+        assert int(ovf) == 0
+        assert int(n1) == g, (n, g_keys, chunks)
+        np.testing.assert_array_equal(np.asarray(k1)[:g],
+                                      np.asarray(k0)[:g])
+        np.testing.assert_array_equal(np.asarray(s1)[:g],
+                                      np.asarray(s0)[:g])
+        np.testing.assert_array_equal(np.asarray(c1)[:g],
+                                      np.asarray(c0)[:g])
+        # pad hygiene past the packed groups
+        assert not np.asarray(k1)[g:].any()
+        assert not np.asarray(s1)[g:].any()
+        # auto wrapper agrees regardless of whether a tiny cap forces
+        # the single-level fallback
+        ra = hash_aggregate_auto(keys, vals, chunks=chunks,
+                                 partial_cap=64)
+        assert int(ra[0]) == g
+        np.testing.assert_array_equal(np.asarray(ra[1])[:g],
+                                      np.asarray(k0)[:g])
+        np.testing.assert_array_equal(np.asarray(ra[2])[:g],
+                                      np.asarray(s0)[:g])
+
+
+def test_hash_aggregate_chunked_overflow_is_counted():
+    """A partial cap below a chunk's distinct-group count must COUNT
+    the dropped partials (never silently truncate the group set)."""
+    from hash_join_codes_knl_tpu.ops.aggregate import (
+        hash_aggregate_chunked,
+    )
+
+    rng = np.random.default_rng(29)
+    keys = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    vals = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    # 2048 distinct keys over 4 chunks, 64 partial slots per chunk
+    _, _, _, _, ovf = hash_aggregate_chunked(
+        jnp.asarray(keys), jnp.asarray(vals), chunks=4, partial_cap=256
+    )
+    assert int(ovf) == 2048 - 256

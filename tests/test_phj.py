@@ -603,18 +603,32 @@ def test_unique_build_skips_secondary_sort_and_validates():
 
     # duplicate build keys under a (wrong) unique declaration: the
     # engine counts the violation and join() downgrades to the exact
-    # num_keys=2 path -- max-val semantics preserved
-    ik2 = np.concatenate([ik, ik[:512]])
-    iv2 = rng.integers(0, 2**32, len(ik2), dtype=np.uint32)
-    from hash_join_codes_knl_tpu.engine.phj import phj_join
+    # num_keys=2 path -- max-val semantics preserved.  The count is
+    # gated on the GATHER impl (the only engine whose max-val relies on
+    # value-secondary run order), so the violation path runs it in
+    # interpret mode.
+    import dataclasses
 
     import jax.numpy as jnp
-    first = phj_join(jnp.asarray(ik2), jnp.asarray(iv2), jnp.asarray(ok),
-                     jnp.asarray(ov), plan)
-    assert int(np.asarray(first.build_counts)[2]) == 512  # counted
-    res2, plan2 = join(ik2, iv2, ok, ov, plan)
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hash_join_codes_knl_tpu.engine.phj import phj_join
+
+    ik2 = np.concatenate([ik, ik[:512]])
+    iv2 = rng.integers(0, 2**32, len(ik2), dtype=np.uint32)
+    gplan = dataclasses.replace(plan, probe_impl="merge_gather")
+    with pltpu.force_tpu_interpret_mode():
+        first = phj_join(jnp.asarray(ik2), jnp.asarray(iv2),
+                         jnp.asarray(ok), jnp.asarray(ov), gplan)
+        assert int(np.asarray(first.build_counts)[2]) == 512  # counted
+        res2, plan2 = join(ik2, iv2, ok, ov, gplan)
     assert not plan2.unique_build  # downgraded
     assert int(np.asarray(res2.build_counts)[2]) == 0
+    # the dense sweep is order-independently exact with num_keys=1:
+    # no violation counted, no spurious downgrade re-join
+    clean = phj_join(jnp.asarray(ik2), jnp.asarray(iv2), jnp.asarray(ok),
+                     jnp.asarray(ov), plan)
+    assert int(np.asarray(clean.build_counts)[2]) == 0
     # exact M:N counts and MAX match values against the oracle
     from hash_join_codes_knl_tpu.engine.phj import materialize_expanded
 
