@@ -27,6 +27,9 @@ _EXPORTS = {
     "join_columns_u64": ("engine.columns", "join_columns_u64"),
     "join_columns_multi": ("engine.columns", "join_columns_multi"),
     "hash_aggregate": ("ops.aggregate", "hash_aggregate"),
+    "hash_aggregate_chunked": ("ops.aggregate", "hash_aggregate_chunked"),
+    "hash_aggregate_auto": ("ops.aggregate", "hash_aggregate_auto"),
+    "aggregate_join_result": ("ops.aggregate", "aggregate_join_result"),
     "join_oracle": ("engine.oracle", "join_oracle"),
     "multiset_digest": ("engine.oracle", "multiset_digest"),
     "data_mesh": ("parallel.distributed", "data_mesh"),

@@ -157,6 +157,12 @@ def main(argv=None):
                         "join (oracle-free invariant re-checks: key "
                         "conservation checksums, pad hygiene, window "
                         "monotonicity; phj.cpp:1034-1041,1214-1229)")
+    p.add_argument("--aggregate", action="store_true",
+                   help="phj: hash-aggregate the join output (group "
+                        "matched rows by probe key, sum matched build "
+                        "values) and print group count + sum checksum "
+                        "-- the BASELINE aggregate-on-join-output "
+                        "operator as a driver stage")
     p.add_argument("--config", metavar="FILE", default=None,
                    help="JSON file of JoinPlan fields (p_bits, slots, "
                         "tile, window, probe_chunks, pass_bits, "
@@ -343,6 +349,24 @@ def main(argv=None):
             stats = timer.run("check", validate_join_result, res,
                               outer.keys, plan)
             print(f"CHECK OK: {stats}", file=sys.stderr)
+        if args.aggregate:
+            # hash aggregate over the join output (the BASELINE
+            # operator on config-5 pipelines): group matched rows by
+            # probe key, sum matched build values.  Single-level
+            # engine: join-output group counts approach the row count,
+            # where the chunked two-level path cannot shrink partials
+            # (ops/aggregate.py hash_aggregate_chunked is the
+            # low-cardinality form).
+            from .ops.aggregate import aggregate_join_result
+
+            def _agg():
+                return aggregate_join_result(res)
+
+            ng, gk, gsum, gcnt = timer.run("aggregate", _agg)
+            g = int(ng)
+            csum = int(np.asarray(gsum)[:g].astype(np.uint64).sum())
+            print(f"AGGREGATE: {g} groups, sum-checksum {csum}",
+                  file=sys.stderr)
     else:  # cpra
         import jax
 

@@ -136,3 +136,17 @@ def test_cpra_cli_timelog_staged_phases(capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["join_tuples"] == 8192
     assert "exchange_s" in out and "local_join_s" in out
+
+
+def test_phj_cli_aggregate(capsys):
+    """--aggregate runs the hash aggregate over the join output as a
+    timed driver stage: group count equals the build distinct count on
+    the uniform workload (every probe matches one build key) and the
+    stage appears in the timing report."""
+    assert main(["phj", "1", "8192", "1024", "--seed", "21", "--json",
+                 "--aggregate"]) == 0
+    captured = capsys.readouterr()
+    out = json.loads(captured.out.strip())
+    assert out["join_tuples"] == 8192
+    assert "aggregate_s" in out
+    assert "AGGREGATE: 1024 groups" in captured.err

@@ -14,6 +14,7 @@ _EX = os.path.join(os.path.dirname(__file__), "..", "examples")
     ("dataframe_style.py", []),
     ("out_of_core.py", None),  # gets a tmp spill dir
     ("multichip.py", []),
+    ("aggregate.py", ["60000"]),
 ])
 def test_example_runs(script, args, tmp_path):
     if args is None:

@@ -227,3 +227,30 @@ def test_stream_resume_rejects_changed_build_side(tmp_path, workload):
     assert second.join_tuples == first.join_tuples
     third = stream_join(ik, iv2, ok, ov, chunk_rows=4096, spill_dir=d)
     assert third.resumed_chunks == len(third.chunks) == 3
+
+
+def test_stream_plan_opt_violation_downgrades(workload):
+    """unique_build declared on a duplicate-key build: the streaming
+    driver must see the counted violation (build_counts[2]) on the
+    first chunk, downgrade the plan opts WITHOUT changing geometry
+    (spill fingerprints depend on geometry only), and produce exact
+    results for every chunk."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hash_join_codes_knl_tpu.engine.config import JoinPlan
+
+    ik, iv, ok, ov = workload
+    ik2 = np.concatenate([ik, ik[:256]])  # duplicate build keys
+    iv2 = np.concatenate([iv, iv[:256] ^ np.uint32(0x5A5A5A5A)])
+    plan = JoinPlan(p_bits=4, slots=256, tile=512,
+                    probe_impl="merge_gather", window=1280,
+                    unique_build=True)
+    with pltpu.force_tpu_interpret_mode():
+        sres = stream_join(ik2, iv2, ok, ov, chunk_rows=4096, plan=plan)
+    assert not sres.plan.unique_build  # downgraded, not silent
+    assert sres.plan.window == plan.window  # geometry untouched
+    want = join_oracle(ik2, iv2, ok, ov)
+    assert sres.join_tuples == len(want[0])
