@@ -293,3 +293,54 @@ def test_hash_aggregate_chunked_overflow_is_counted():
         jnp.asarray(keys), jnp.asarray(vals), chunks=4, partial_cap=256
     )
     assert int(ovf) == 2048 - 256
+
+
+def test_reduce_runs_helper_properties():
+    """The shared run-reduction helper directly: multiple value
+    columns, all-null rows, and C>1 vs C==1 path equivalence."""
+    from hash_join_codes_knl_tpu.ops.aggregate import (
+        _null_last_sort,
+        _reduce_runs,
+    )
+
+    rng = np.random.default_rng(31)
+    C, m = 4, 512
+    keys = rng.integers(1, 40, (C, m)).astype(np.uint32)
+    keys[2] = 0  # an all-null row
+    va = rng.integers(0, 2**32, (C, m), dtype=np.uint32)
+    vb = rng.integers(0, 2**32, (C, m), dtype=np.uint32)
+    k_s, a_s, b_s = _null_last_sort(jnp.asarray(keys),
+                                    (jnp.asarray(va), jnp.asarray(vb)),
+                                    dimension=1)
+    gk, (sa, sb), cnts, g = _reduce_runs(k_s, (a_s, b_s))
+    gk, sa, sb, cnts, g = (np.asarray(x) for x in (gk, sa, sb, cnts, g))
+    assert g[2] == 0 and not gk[2].any()
+    for r in range(C):
+        kr = keys[r]
+        live = kr != 0
+        uniq = np.unique(kr[live])
+        assert g[r] == len(uniq)
+        assert np.array_equal(np.sort(gk[r][: g[r]]), uniq)
+        for j, key in enumerate(gk[r][: g[r]]):
+            mm = kr == key
+            assert sa[r, j] == np.uint32(va[r][mm].sum())
+            assert sb[r, j] == np.uint32(vb[r][mm].sum())
+            assert cnts[r, j] == mm.sum()
+        # pad hygiene
+        assert not gk[r][g[r]:].any()
+        assert not sa[r][g[r]:].any()
+    # C==1 internal 1-D sort path agrees with the batched path row-wise
+    for r in range(C):
+        k1, a1, b1 = _null_last_sort(jnp.asarray(keys[r]),
+                                     (jnp.asarray(va[r]),
+                                      jnp.asarray(vb[r])))
+        gk1, (sa1, sb1), c1, g1 = _reduce_runs(
+            k1.reshape(1, m), (a1.reshape(1, m), b1.reshape(1, m))
+        )
+        assert int(g1[0]) == g[r]
+        np.testing.assert_array_equal(np.asarray(gk1)[0, : g[r]],
+                                      gk[r][: g[r]])
+        np.testing.assert_array_equal(np.asarray(sa1)[0, : g[r]],
+                                      sa[r][: g[r]])
+        np.testing.assert_array_equal(np.asarray(c1)[0, : g[r]],
+                                      cnts[r][: g[r]])
