@@ -187,22 +187,36 @@ def npj_probe(table_keys, table_vals, probe_keys, plan: NpjPlan):
     return mval, mcnt
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "window"))
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "window", "order"))
 def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
-                     max_disp, window: int):
+                     max_disp, window: int, probe_vals=None,
+                     order: str = "input"):
     """Home-bucket-ordered window probe (the vectorized K2).
 
-    Order probes by home bucket with one fused sort (carrying key +
-    original index), sweep each tile against its bucket-range window with
-    the merge-probe kernel (the table is bucket-ordered by construction,
-    and equal keys are parked contiguously, so the dense equality sweep
-    sees exactly the chain-walk's candidate set), then restore input order
-    with a second sort keyed by the carried index.
+    Order probes by home bucket with one fused sort, sweep each tile
+    against its bucket-range window with the merge-probe kernel (the
+    table is bucket-ordered by construction, and equal keys are parked
+    contiguously, so the dense equality sweep sees exactly the
+    chain-walk's candidate set).
 
-    Returns (match_vals, match_cnts aligned to probe input order,
-    overflow): overflow counts tiles whose required span
-    (tile max h0 + max_disp + 1 - window row) exceeds `window` -- a VALUE
-    for the caller to re-plan on, never silent (engine convention).
+    order="input" (default): the sort carries the original INDEX and a
+    second sort restores input order; returns (match_vals, match_cnts
+    aligned to probe input order, overflow).
+
+    order="sorted": the sort carries the probe VALUE instead and the
+    inverse sort is skipped entirely -- the output stays in
+    (home-bucket, key)-sorted order, exactly the PHJ merge engine's
+    aligned contract; returns (probe_keys_sorted, probe_vals_sorted,
+    match_vals, match_cnts, overflow) at the padded capacity (pads
+    carry key 0 and zero counts).  One 3-column probe-side sort instead
+    of two -- the right form for consumers that treat join output as a
+    row multiset (materialize, digests, aggregates; requires
+    probe_vals).
+
+    overflow counts tiles whose required span (tile max h0 + max_disp +
+    1 - window row) exceeds `window` -- a VALUE for the caller to
+    re-plan on, never silent (engine convention).
     """
     from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
 
@@ -226,7 +240,13 @@ def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
         [h0, jnp.full(cap - n, plan.buckets - 1, jnp.int32)]
     )
     kp = jnp.concatenate([probe_keys, jnp.zeros(cap - n, jnp.uint32)])
-    idx = jnp.arange(cap, dtype=jnp.int32)
+    if order == "sorted":
+        assert probe_vals is not None, "order='sorted' needs probe_vals"
+        carry = jnp.concatenate(
+            [probe_vals, jnp.zeros(cap - n, jnp.uint32)]
+        )
+    else:
+        carry = jnp.arange(cap, dtype=jnp.int32)
     # num_keys=2: the KEY must be the secondary sort key so equal-h0
     # groups come out key-ordered.  The shared kernel's constant-tile
     # fast path broadcasts row 0's results whenever tile[first] ==
@@ -235,7 +255,7 @@ def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
     # key -- under h0-only order a bucket-colliding key interleaved
     # inside a heavy hitter's run would silently receive the hot key's
     # matches on TPU.
-    h0_s, k_s, idx_s = jax.lax.sort((h0p, kp, idx), num_keys=2)
+    h0_s, k_s, carry_s = jax.lax.sort((h0p, kp, carry), num_keys=2)
     lo = h0_s[::tile]
     hi = h0_s[tile - 1 :: tile]
     wrow = jnp.clip(lo // 128, 0, rows_total - w_chunks)
@@ -257,16 +277,31 @@ def npj_probe_sorted(table_keys, table_vals, probe_keys, plan: NpjPlan,
         mv, mc = merge_probe_pallas(k_s, tk2, tv2, wrow, tile, window)
     else:
         mv, mc = merge_probe_jnp(k_s, tk2, tv2, wrow, tile, window)
-    _, mv_o, mc_o = jax.lax.sort((idx_s, mv, mc), num_keys=1)
+    if order == "sorted":
+        return k_s, carry_s, mv, mc, overflow
+    _, mv_o, mc_o = jax.lax.sort((carry_s, mv, mc), num_keys=1)
     return mv_o[:n], mc_o[:n], overflow
 
 
 def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
-             plan: NpjPlan | None = None, window_retries: int = 3):
-    """Full NPJ; returns (match_vals, match_cnts aligned to outer, plan).
+             plan: NpjPlan | None = None, window_retries: int = 3,
+             order: str = "input"):
+    """Full NPJ.
+
+    order="input" (default): returns (match_vals, match_cnts aligned to
+    the outer input order, plan).
+
+    order="sorted": returns (probe_keys, probe_vals, match_vals,
+    match_cnts, plan) in home-bucket-sorted order at the padded
+    capacity -- the PHJ merge engine's aligned contract.  Skips both
+    the index carry and the inverse sort (one probe-side 3-column sort
+    instead of two), the faster form for consumers that treat join
+    output as a row multiset.  Sorted probe engine only.
 
     Sorted-probe window overflow triggers re-planning with a doubled
     window (same protocol as the merge PHJ engine)."""
+    if order not in ("input", "sorted"):
+        raise ValueError(f"order must be 'input' or 'sorted', got {order!r}")
     if plan is None:
         plan = plan_npj(len(inner_keys))
     ik, iv = jnp.asarray(inner_keys), jnp.asarray(inner_vals)
@@ -278,8 +313,14 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
             "increase NpjPlan.margin or lower the load factor"
         )
     if plan.probe_impl == "chain":
+        if order != "input":
+            raise ValueError(
+                "order='sorted' applies to the sorted probe engine only "
+                "(the chain walk is input-ordered by construction)"
+            )
         mv, mc = npj_probe(tk, tv, ok, plan)
         return mv, mc, plan
+    ov_s_arg = jnp.asarray(outer_vals) if order == "sorted" else None
     # the measured parking displacement is already synced (the overflow
     # check above): fold it into the FIRST window so a clustered build
     # (max_disp past auto_window's default 384-slot budget) does not
@@ -289,7 +330,9 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
     for _ in range(window_retries + 1):
         size_cap = min(plan.table_size, plan.max_window)
         window = min(window, size_cap)
-        mv, mc, wovf = npj_probe_sorted(tk, tv, ok, plan, max_disp, window)
+        out = npj_probe_sorted(tk, tv, ok, plan, max_disp, window,
+                               probe_vals=ov_s_arg, order=order)
+        wovf = out[-1]
         if int(wovf) == 0:
             break
         if window < size_cap:
@@ -318,4 +361,9 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
             "large table) -- use the PHJ merge engine for this shape, "
             "or raise the load factor to shrink the bucket range"
         )
-    return mv, mc, dataclasses.replace(plan, window=window)
+    final = dataclasses.replace(plan, window=window)
+    if order == "sorted":
+        k_s, v_s, mv, mc, _ = out
+        return k_s, v_s, mv, mc, final
+    mv, mc, _ = out
+    return mv, mc, final

@@ -86,7 +86,8 @@ def main():
         "aggregate": ("hash_aggregate_256M",
                       "hash_aggregate_chunked_256M_64Kgroups",
                       "hash_aggregate_256M_64Kgroups"),
-        "npj_uniform_full": ("npj_uniform_full",),
+        "npj_uniform_full": ("npj_uniform_full",
+                             "npj_uniform_full_sorted_order"),
         "zipf": ("phj_zipf_0.75", "phj_zipf_1.0"),
         "cpra": ("cpra",),
         "radix_4096": ("phj_radix_4096way",),
@@ -242,6 +243,28 @@ def main():
                         "BASELINE shape",
                 "window": nwin_f})
         del run_npj_full
+
+        # sorted-order output contract (the PHJ merge contract): one
+        # probe-side 3-column sort instead of two -- no index carry, no
+        # inverse sort (engine/npj.py order="sorted")
+        def run_npj_sorted(rep):
+            tk, tv, _, max_disp = npj_build(ik, iv ^ jnp.uint32(rep),
+                                            nplan_f)
+            k_s, v_s, mv, mc, wovf = npj_probe_sorted(
+                tk, tv, ok, nplan_f, max_disp, nwin_f,
+                probe_vals=ov, order="sorted",
+            )
+            assert int(wovf) == 0
+            got = int(jnp.sum(mc.astype(jnp.uint32)))
+            assert got == expected_join_tuples(I, O) % (1 << 32)
+            return got
+
+        record("npj_uniform_full_sorted_order", O,
+               _sync_run(run_npj_sorted, reps=2),
+               {"note": f"{I}x{O}: sorted-aligned output (PHJ merge "
+                        "contract) -- one probe-side sort instead of "
+                        "two", "window": nwin_f})
+        del run_npj_sorted
 
     # free the uniform probe side before staging the zipf one: two
     # 256M-row probe sides plus join internals exceed one chip's HBM

@@ -246,3 +246,39 @@ def test_npj_sorted_tile_shrink_replan():
     assert plan_out.tile < 2048  # the shrink happened
     assert np.asarray(mc).min() == 1  # every probe found its row
     assert np.array_equal(np.asarray(mv), iv[np.searchsorted(ik, ok)])
+
+
+def test_npj_sorted_order_output_matches_input_order():
+    """order='sorted' (one probe-side sort, PHJ-style sorted-aligned
+    output) must produce the same row multiset as the default
+    input-order contract, including M:N counts and misses."""
+    rng = np.random.default_rng(83)
+    ik = rng.integers(1, 4000, 3000, dtype=np.uint32)  # duplicates
+    iv = rng.integers(0, 2**32, 3000, dtype=np.uint32)
+    ok = np.concatenate(
+        [ik[rng.integers(0, 3000, 5000)],
+         rng.integers(1, 2**32, 2000, dtype=np.uint32)]
+    ).astype(np.uint32)
+    ov = rng.integers(0, 2**32, len(ok), dtype=np.uint32)
+    mv0, mc0, plan0 = npj_join(ik, iv, ok, ov)
+    k_s, v_s, mv1, mc1, plan1 = npj_join(ik, iv, ok, ov, order="sorted")
+    assert plan1.window == plan0.window
+    k_s, v_s = np.asarray(k_s), np.asarray(v_s)
+    mv1, mc1 = np.asarray(mv1), np.asarray(mc1)
+    live = k_s != 0
+    assert live.sum() == len(ok)
+    # pads carry zero counts
+    assert mc1[~live].sum() == 0
+    # row-multiset equality of (key, val, match_val, cnt)
+    a = np.lexsort((np.asarray(mc0), np.asarray(mv0), ov, ok))
+    b = np.lexsort((mc1[live], mv1[live], v_s[live], k_s[live]))
+    np.testing.assert_array_equal(ok[a], k_s[live][b])
+    np.testing.assert_array_equal(ov[a], v_s[live][b])
+    np.testing.assert_array_equal(np.asarray(mv0)[a], mv1[live][b])
+    np.testing.assert_array_equal(np.asarray(mc0)[a], mc1[live][b])
+    with pytest.raises(ValueError, match="sorted probe engine only"):
+        import dataclasses
+
+        npj_join(ik, iv, ok, ov,
+                 dataclasses.replace(plan0, probe_impl="chain", window=0),
+                 order="sorted")
