@@ -96,11 +96,14 @@ def main():
     # effective).  This is the honest denominator the engine is actually
     # chasing; pct_hbm_stream_floor is kept for cross-hardware context.
     # Anchors (PERF_NOTES.md): probe chunk-sort 0.65 s / 256M pairs
-    # (C=2048 batched), build 2-key sort 0.16 s / 16M pairs, output
-    # write at ~700 GB/s effective.
+    # (C=2048 batched), build 2-key sort 0.12 s / 16M pairs (the staged
+    # partition_build measurement, same sync convention as the probe
+    # anchor -- r4 correction: the earlier 0.16 anchor was looser than
+    # its own cited measurement and inflated both floor fractions),
+    # output write at ~700 GB/s effective.
     achievable_s = (
         outer_n * (0.65 / 256e6)
-        + inner_n * (0.16 / 16e6)
+        + inner_n * (0.12 / 16e6)
         + outer_n * 16 / 700e9
     )
     pct_achievable = 100 * achievable_s / dt
@@ -116,7 +119,7 @@ def main():
     # fraction of genuinely reachable performance this engine delivers.
     feasible_s = (
         outer_n * (0.83 / 256e6)
-        + inner_n * (0.16 / 16e6)
+        + inner_n * (0.12 / 16e6)
         + outer_n * 16 / 700e9
     )
     pct_feasible = 100 * feasible_s / dt

@@ -157,6 +157,11 @@ def main(argv=None):
                         "join (oracle-free invariant re-checks: key "
                         "conservation checksums, pad hygiene, window "
                         "monotonicity; phj.cpp:1034-1041,1214-1229)")
+    p.add_argument("--sorted-order", action="store_true",
+                   help="npj: return/count results in home-bucket-"
+                        "sorted order (the PHJ merge contract) -- one "
+                        "probe-side sort instead of two, ~1.5x faster "
+                        "(engine/npj.py order='sorted')")
     p.add_argument("--aggregate", action="store_true",
                    help="phj: hash-aggregate the join output (group "
                         "matched rows by probe key, sum matched build "
@@ -289,8 +294,18 @@ def main(argv=None):
                       file=sys.stderr)
                 return 1
             window = plan.window or plan.auto_window(len(ok))
-            mv, mc, wovf = timer.run("probe", npj_probe_sorted, tk, tv, ok,
-                                     plan, max_disp, window)
+            if args.sorted_order:
+                # one probe-side sort instead of two: output stays in
+                # home-bucket-sorted order (the PHJ merge contract;
+                # measured 104.5 vs 69.3 M tuples/s at 16Mx256M)
+                ov = jnp.asarray(outer.vals)
+                _, _, mv, mc, wovf = timer.run(
+                    "probe", npj_probe_sorted, tk, tv, ok, plan,
+                    max_disp, window, probe_vals=ov, order="sorted",
+                )
+            else:
+                mv, mc, wovf = timer.run("probe", npj_probe_sorted, tk,
+                                         tv, ok, plan, max_disp, window)
             if int(wovf) > 0:
                 print("NPJ probe window overflow: re-run via npj_join "
                       "(auto re-plan)", file=sys.stderr)

@@ -150,3 +150,15 @@ def test_phj_cli_aggregate(capsys):
     assert out["join_tuples"] == 8192
     assert "aggregate_s" in out
     assert "AGGREGATE: 1024 groups" in captured.err
+
+
+def test_npj_cli_sorted_order(capsys):
+    """--sorted-order on the npj driver: same cardinality through the
+    single-sort sorted-aligned contract."""
+    assert main(["npj", "1", "8192", "2048", "--seed", "33",
+                 "--json"]) == 0
+    out0 = json.loads(capsys.readouterr().out.strip())
+    assert main(["npj", "1", "8192", "2048", "--seed", "33", "--json",
+                 "--sorted-order"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip())
+    assert out1["join_tuples"] == out0["join_tuples"] == 8192
