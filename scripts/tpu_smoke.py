@@ -151,6 +151,41 @@ def main():
     checks += 1
     print("ok: npj sorted == chain", file=sys.stderr)
 
+    # 3a: the sorted-order output contract (one probe-side sort) must
+    # carry the same row multiset as input order on real hardware
+    k_s, v_s, mvs, mcs, _ = npj_join(ik, iv, ok8, ok8, order="sorted")
+    k_s, v_s = np.asarray(k_s), np.asarray(v_s)
+    mvs, mcs = np.asarray(mvs), np.asarray(mcs)
+    live = k_s != 0
+    assert live.sum() == len(ok8) and mcs[~live].sum() == 0
+    a = np.lexsort((np.asarray(mc1), np.asarray(mv1), ok8))
+    b = np.lexsort((mcs[live], mvs[live], k_s[live]))
+    assert np.array_equal(ok8[a], k_s[live][b])
+    assert np.array_equal(np.asarray(mv1)[a], mvs[live][b])
+    assert np.array_equal(np.asarray(mc1)[a], mcs[live][b])
+    checks += 1
+    print("ok: npj sorted-order contract", file=sys.stderr)
+
+    # 3c: two-level chunked aggregate == single-level on hardware
+    from hash_join_codes_knl_tpu.ops.aggregate import (
+        hash_aggregate,
+        hash_aggregate_chunked,
+    )
+
+    ka = (ok[:4_000_000] & jnp.uint32(0xFFFF)) + jnp.uint32(1)
+    va = ov[:4_000_000]
+    ng0, gk0, s0, c0 = hash_aggregate(ka, va)
+    ng1, gk1, s1, c1, aovf = hash_aggregate_chunked(
+        ka, va, chunks=16, partial_cap=1 << 21
+    )
+    g0 = int(ng0)
+    assert int(aovf) == 0 and int(ng1) == g0
+    assert np.array_equal(np.asarray(gk1)[:g0], np.asarray(gk0)[:g0])
+    assert np.array_equal(np.asarray(s1)[:g0], np.asarray(s0)[:g0])
+    assert np.array_equal(np.asarray(c1)[:g0], np.asarray(c0)[:g0])
+    checks += 1
+    print("ok: chunked aggregate == single-level", file=sys.stderr)
+
     # 3b: heavy-hitter probe tiles with a bucket-colliding distinct key
     # interleaved -- the dense kernel's constant-tile fast path must not
     # hand the collider the hot key's matches.  Only the REAL Mosaic
