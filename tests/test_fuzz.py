@@ -305,3 +305,59 @@ def test_fuzz_column_join_modes_vs_oracle(seed):
     out, _ = join_columns_multi((ik_hi, ik_lo), inner_cols,
                                 (ok_hi, ok_lo), outer_cols, how=how)
     check(out, how)
+
+
+@pytest.mark.parametrize("seed", range(240, 252))
+def test_fuzz_chunked_aggregate_vs_numpy(seed):
+    """Random (size, group count, chunks, partial cap, null fraction):
+    the two-level aggregate either matches numpy exactly (overflow 0)
+    or counts its dropped partials and the auto wrapper's fallback is
+    exact."""
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.ops.aggregate import (
+        hash_aggregate,
+        hash_aggregate_auto,
+        hash_aggregate_chunked,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 40000))
+    g_target = int(rng.integers(1, max(2, n)))
+    chunks = int(rng.choice([1, 2, 4, 8, 16]))
+    pool = np.unique(rng.integers(1, 2**32, g_target + 64,
+                                  dtype=np.uint32))[:g_target]
+    keys = pool[rng.integers(0, len(pool), n)].astype(np.uint32)
+    if rng.random() < 0.5:
+        keys[rng.random(n) < rng.random() * 0.3] = 0  # nulls
+    vals = rng.integers(0, 2**32, n, dtype=np.uint32)
+    cap = int(rng.choice([64, 1024, chunks * (-(-n // chunks))]))
+
+    # numpy oracle
+    live = keys != 0
+    uk = np.unique(keys[live])
+    want_sums = {int(k): np.uint32(vals[keys == k].sum()) for k in uk}
+
+    ng, gk, sums, counts, ovf = hash_aggregate_chunked(
+        jnp.asarray(keys), jnp.asarray(vals), chunks=chunks,
+        partial_cap=cap,
+    )
+    if int(ovf) == 0:
+        g = int(ng)
+        assert g == len(uk), (seed, n, chunks, cap)
+        gk_np = np.asarray(gk)[:g]
+        assert np.array_equal(np.sort(gk_np), uk)
+        for j, k in enumerate(gk_np[: min(g, 50)]):
+            assert np.asarray(sums)[j] == want_sums[int(k)]
+            assert np.asarray(counts)[j] == (keys == k).sum()
+    # the auto wrapper is exact either way
+    ra = hash_aggregate_auto(keys, vals, chunks=chunks, partial_cap=cap)
+    n0, k0, s0, c0 = hash_aggregate(jnp.asarray(keys), jnp.asarray(vals))
+    g0 = int(n0)
+    assert int(ra[0]) == g0 == len(uk)
+    np.testing.assert_array_equal(np.asarray(ra[1])[:g0],
+                                  np.asarray(k0)[:g0])
+    np.testing.assert_array_equal(np.asarray(ra[2])[:g0],
+                                  np.asarray(s0)[:g0])
+    np.testing.assert_array_equal(np.asarray(ra[3])[:g0],
+                                  np.asarray(c0)[:g0])
