@@ -33,7 +33,7 @@ def main():
     print(f"single-level: {g} groups over {n} rows")
 
     # numpy cross-check on a few groups
-    for key in np.asarray(gk)[:3]:
+    for key in np.asarray(gk)[: min(g, 3)]:
         m = keys == key
         want = np.uint32(vals[m].sum())  # u32 wraparound, like the engine
         idx = int(np.flatnonzero(np.asarray(gk)[:g] == key)[0])

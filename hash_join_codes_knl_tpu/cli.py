@@ -197,6 +197,23 @@ def main(argv=None):
 
     from .utils.timing import PhaseTimer
 
+    # flag-combination validation up front: a requested stage that a
+    # mode cannot run must ERROR, never silently skip (the --aggregate/
+    # --check epilogue lives on the in-memory phj path only, and
+    # --sorted-order on the single-chip npj driver only)
+    if (args.check or args.aggregate) and args.algorithm == "phj" and (
+        args.stream_chunk_rows > 0 or args.grace_bits > 0
+    ):
+        print("--check/--aggregate are not supported with "
+              "--stream-chunk-rows/--grace-bits (per-chunk results "
+              "stream through spill files; aggregate the spilled "
+              "columns instead)", file=sys.stderr)
+        return 2
+    if args.sorted_order and (args.algorithm != "npj" or args.threads > 1):
+        print("--sorted-order applies to the single-chip npj driver "
+              "only", file=sys.stderr)
+        return 2
+
     profiling = contextlib.ExitStack()
     if args.profile:
         import jax
@@ -374,10 +391,16 @@ def main(argv=None):
             # low-cardinality form).
             from .ops.aggregate import aggregate_join_result
 
-            def _agg():
-                return aggregate_join_result(res)
-
-            ng, gk, gsum, gcnt = timer.run("aggregate", _agg)
+            try:
+                ng, _gk, gsum, _gc = timer.run(
+                    "aggregate", aggregate_join_result, res
+                )
+            except ValueError as e:
+                # M:N join output (duplicate build keys): the aligned
+                # layout can't aggregate directly -- handled exit, not
+                # a traceback (same pattern as the overflow paths)
+                print(f"AGGREGATE UNSUPPORTED: {e}", file=sys.stderr)
+                return 1
             g = int(ng)
             csum = int(np.asarray(gsum)[:g].astype(np.uint64).sum())
             print(f"AGGREGATE: {g} groups, sum-checksum {csum}",

@@ -304,6 +304,14 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
         raise ValueError(f"order must be 'input' or 'sorted', got {order!r}")
     if plan is None:
         plan = plan_npj(len(inner_keys))
+    if plan.probe_impl == "chain" and order != "input":
+        # argument validation BEFORE the build: rejecting after
+        # npj_build would waste the build sort + a device sync (and
+        # possibly a remote compile) on an error knowable here
+        raise ValueError(
+            "order='sorted' applies to the sorted probe engine only "
+            "(the chain walk is input-ordered by construction)"
+        )
     ik, iv = jnp.asarray(inner_keys), jnp.asarray(inner_vals)
     ok = jnp.asarray(outer_keys)
     tk, tv, overflow, max_disp = npj_build(ik, iv, plan)
@@ -313,11 +321,6 @@ def npj_join(inner_keys, inner_vals, outer_keys, outer_vals,
             "increase NpjPlan.margin or lower the load factor"
         )
     if plan.probe_impl == "chain":
-        if order != "input":
-            raise ValueError(
-                "order='sorted' applies to the sorted probe engine only "
-                "(the chain walk is input-ordered by construction)"
-            )
         mv, mc = npj_probe(tk, tv, ok, plan)
         return mv, mc, plan
     ov_s_arg = jnp.asarray(outer_vals) if order == "sorted" else None

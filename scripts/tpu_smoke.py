@@ -152,15 +152,21 @@ def main():
     print("ok: npj sorted == chain", file=sys.stderr)
 
     # 3a: the sorted-order output contract (one probe-side sort) must
-    # carry the same row multiset as input order on real hardware
-    k_s, v_s, mvs, mcs, _ = npj_join(ik, iv, ok8, ok8, order="sorted")
+    # carry the same row multiset as input order on real hardware.
+    # INDEPENDENT probe values (not aliases of the keys): the new
+    # surface under test is the value column riding the lax.sort in
+    # place of the index carry -- aliased values would mask a corrupted
+    # carry column
+    ov8 = rng.integers(0, 2**32, len(ok8), dtype=np.uint32)
+    k_s, v_s, mvs, mcs, _ = npj_join(ik, iv, ok8, ov8, order="sorted")
     k_s, v_s = np.asarray(k_s), np.asarray(v_s)
     mvs, mcs = np.asarray(mvs), np.asarray(mcs)
     live = k_s != 0
     assert live.sum() == len(ok8) and mcs[~live].sum() == 0
-    a = np.lexsort((np.asarray(mc1), np.asarray(mv1), ok8))
-    b = np.lexsort((mcs[live], mvs[live], k_s[live]))
+    a = np.lexsort((np.asarray(mc1), np.asarray(mv1), ov8, ok8))
+    b = np.lexsort((mcs[live], mvs[live], v_s[live], k_s[live]))
     assert np.array_equal(ok8[a], k_s[live][b])
+    assert np.array_equal(ov8[a], v_s[live][b])
     assert np.array_equal(np.asarray(mv1)[a], mvs[live][b])
     assert np.array_equal(np.asarray(mc1)[a], mcs[live][b])
     checks += 1
