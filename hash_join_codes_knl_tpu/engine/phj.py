@@ -631,11 +631,14 @@ def join(
     """Join with automatic window re-planning.
 
     The auto window is sized for hash-uniform probe densities; skewed
-    probe distributions (Zipf outer) can have tiles whose build-side span
-    exceeds it.  Overflow is counted by the engine (never silent), and
-    this wrapper re-plans with a doubled window until clean -- measured
-    spans stay bounded (<=1.3K slots at z=1.0 on 16Mx256M) because the
-    distinct-key density still tracks the build side.
+    probe distributions (Zipf outer) can have tiles whose build-side
+    span exceeds it.  Overflow is counted by the engine (never silent),
+    and this wrapper re-plans from the MEASURED max span
+    (replan_from_span: window from the span with margin, shrinking the
+    tile when even that busts the gather cap) until clean.  Plan-opt
+    violations (rowbase select slice miss / unique_build duplicates,
+    build_counts[2]) downgrade to the unconditionally-exact flags with
+    geometry unchanged (downgrade_plan_opts).
     """
     if plan is None:
         plan = plan_join(len(inner_keys), len(outer_keys))
