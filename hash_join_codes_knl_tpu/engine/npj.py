@@ -74,21 +74,17 @@ class NpjPlan:
         probe views the table as (rows, 128))."""
         return -(-(self.buckets + self.margin) // 128) * 128
 
-    # scoped-vmem budget for the probe kernel's unrolled (row x chunk)
-    # loop, in row-chunks: 24 rows x 121 chunks is the widest measured-
-    # compilable geometry (engine/phj.py GATHER_MAX_CHUNKS); beyond the
-    # derived window the driver raises a clear overflow error instead of
-    # handing the compiler an OOM-sized kernel.
-    # DENSE-kernel budget, r4 recalibration: the dense sweep's scoped
-    # footprint per (row x chunk) is ~2x the gather kernel's, AND the
-    # remote compiler's scoped-vmem accounting drifted between rounds
-    # (r3 compiled 181 chunks x 16 rows; the identical HEAD kernel now
-    # OOMs at 34.4M vs the 16M limit).  Measured bracket on v5e (tile
-    # 2048 = 16 rows): 144 chunks OK, 160 chunks 23.6M FAIL -- budget
-    # 2048 rowchunks sits a 256-rowchunk step below the boundary.
-    # Re-verify after compiler/service updates (scripts note in
-    # PERF_NOTES "scoped-vmem drift").
-    ROWCHUNK_BUDGET = 2048
+    # scoped-vmem budget for the DENSE probe kernel's unrolled
+    # (row x chunk) loop, in row-chunks.  Sourced from engine/phj.py's
+    # DENSE_ROWCHUNK_BUDGET (the single home for both kernel budgets --
+    # r5 fix: phj's explicit-window guard used to check dense windows
+    # against the looser GATHER budget); see that constant for the r4
+    # measurement bracket and the hw_revalidate re-bracketing protocol.
+    @property
+    def ROWCHUNK_BUDGET(self) -> int:
+        from .phj import DENSE_ROWCHUNK_BUDGET
+
+        return DENSE_ROWCHUNK_BUDGET
 
     @property
     def max_window(self) -> int:

@@ -102,16 +102,10 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
     cap = -(-no // quantum) * quantum
     if plan.window:
         window = plan.window
-        # an EXPLICIT window past the dense kernel's scoped-vmem compile
-        # budget (rows x chunks, see GATHER_ROWCHUNK_BUDGET) would crash
-        # the compiler minutes into a remote compile -- refuse loudly
-        dense_cap = (GATHER_ROWCHUNK_BUDGET // max(1, tile // 128)) * 128
-        if window > dense_cap:
-            raise ValueError(
-                f"window={window} exceeds the compilable ceiling "
-                f"{dense_cap} at tile {tile} (scoped-vmem rows x chunks "
-                "budget): shrink the tile or the window"
-            )
+        # an EXPLICIT window past the resolved kernel's scoped-vmem
+        # compile budget would crash the compiler minutes into a remote
+        # compile -- refuse loudly, per kernel, BEFORE any trace
+        _check_explicit_window(plan, tile, window)
     else:
         # coverage: the window must hold the tile's build-side span --
         # mean lam plus two fluctuation terms: Poisson thinning of the
@@ -243,6 +237,69 @@ GATHER_ROWCHUNK_BUDGET = 24 * 121
 # the production 121-chunk window fits.  Auto windows clamp here and
 # the overflow/re-plan path shrinks probe_chunks instead.
 GATHER_MAX_CHUNKS = 121
+# DENSE-kernel scoped-vmem budget, in rowchunks.  The dense sweep's
+# per-(row x chunk) footprint is ~2x the gather kernel's AND the remote
+# compiler's accounting drifted between rounds (r3 compiled 181 chunks
+# x 16 rows; the identical kernel later OOM'd at 34.4M vs the 16M
+# limit).  r4 bracket on v5e at tile 2048 (16 rows): 144 chunks OK, 160
+# chunks 23.6M FAIL -- 2048 rowchunks sits a 256-rowchunk step under
+# the boundary.  This is THE source for both consumers (NpjPlan's
+# window ceiling imports it); re-bracket via hw_revalidate.sh step 1
+# after compiler/service updates and update it HERE only.
+DENSE_ROWCHUNK_BUDGET = 2048
+
+
+def _check_explicit_window(plan: JoinPlan, tile: int, window: int) -> None:
+    """Validate an EXPLICIT merge window against the compile budget of
+    the kernel it will actually resolve to (_merge_impl's rule): the
+    gather kernel between GATHER_MIN_CHUNKS and GATHER_MAX_CHUNKS, the
+    dense sweep outside that band.  Each kernel has its own measured
+    scoped-vmem rowchunk budget; checking the wrong one (the pre-r5 bug:
+    dense windows checked against the looser GATHER budget) lets a
+    --config window crash the remote compile minutes in.  Also warns
+    when a wide window legally falls through to the dense sweep -- a
+    regime the auto planner never picks (compare work scales with
+    width; pathological at gather-scale widths)."""
+    rows = max(1, tile // 128)
+    w_chunks = -(-window // 128)
+    forced = plan.probe_impl
+    if forced == "merge_jnp":
+        return  # oracle path: nothing compiles on-device
+    to_gather = (
+        forced == "merge_gather"
+        or (forced == "merge"
+            and GATHER_MIN_CHUNKS <= w_chunks <= GATHER_MAX_CHUNKS)
+    )
+    if to_gather:
+        cap = min(GATHER_MAX_CHUNKS, GATHER_ROWCHUNK_BUDGET // rows) * 128
+        if window > cap:
+            raise ValueError(
+                f"window={window} exceeds the gather kernel's compilable "
+                f"ceiling {cap} at tile {tile} (scoped-vmem rows x chunks "
+                f"budget {GATHER_ROWCHUNK_BUDGET} rowchunks / lane cap "
+                f"{GATHER_MAX_CHUNKS} chunks): shrink the tile or window"
+            )
+        return
+    cap = (DENSE_ROWCHUNK_BUDGET // rows) * 128
+    if window > cap:
+        raise ValueError(
+            f"window={window} resolves to the DENSE sweep and exceeds its "
+            f"compilable ceiling {cap} at tile {tile} (scoped-vmem budget "
+            f"{DENSE_ROWCHUNK_BUDGET} rowchunks, r4 bracket): shrink the "
+            "tile or the window, or keep the window within the gather "
+            f"band (<= {GATHER_MAX_CHUNKS * 128})"
+        )
+    if forced == "merge" and w_chunks > GATHER_MAX_CHUNKS:
+        import warnings
+
+        warnings.warn(
+            f"explicit window={window} ({w_chunks} chunks) is past the "
+            f"gather kernel's {GATHER_MAX_CHUNKS}-chunk lane cap and "
+            "falls through to the DENSE sweep -- compare work scales "
+            "with width there (pathological at these widths); prefer a "
+            "window within the gather band or a smaller tile",
+            stacklevel=3,
+        )
 
 
 def _merge_impl(plan: JoinPlan, window: int) -> str:

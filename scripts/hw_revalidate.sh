@@ -46,7 +46,9 @@ for w_chunks in (128, 144, 160):
         print(f"dense w_chunks={w_chunks}: FAIL {m[i:i+60] if i>=0 else m[:80]}",
               flush=True)
 print("if 144 now FAILS or 160 now COMPILES, re-bracket and update "
-      "NpjPlan.ROWCHUNK_BUDGET (engine/npj.py) + PERF_NOTES")
+      "DENSE_ROWCHUNK_BUDGET (engine/phj.py -- the single source for "
+      "both the NPJ window ceiling AND the merge-side explicit-window "
+      "guard) + PERF_NOTES")
 PY
 note "step 1 exit $?"
 

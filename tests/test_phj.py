@@ -425,17 +425,46 @@ def test_join_raises_on_padded_overflow():
 
 def test_merge_params_rejects_uncompilable_explicit_window():
     """An explicit window past the scoped-vmem rows x chunks compile
-    budget raises up front instead of crashing the remote compiler
-    minutes into a build."""
+    budget of the kernel it RESOLVES to raises up front instead of
+    crashing the remote compiler minutes into a build.  The r5
+    regression case: a dense-resolving window must be checked against
+    DENSE_ROWCHUNK_BUDGET (2048, the r4 bracket), not the looser gather
+    budget -- tile 2048 + window 20480 (160 chunks x 16 rows = 2560
+    rowchunks) used to pass the old guard and crash the remote compile."""
     import pytest
 
     from hash_join_codes_knl_tpu.engine.config import JoinPlan
     from hash_join_codes_knl_tpu.engine.phj import _merge_params
 
-    plan = JoinPlan(p_bits=4, slots=128, tile=3072, pass_bits=(4,),
-                    window=40_000)  # > (2904//24)*128 = 15488 at t3072
+    def params(**kw):
+        plan = JoinPlan(p_bits=4, slots=128, pass_bits=(4,), **kw)
+        return _merge_params(plan, 1 << 20, 1 << 24)
+
+    # far past every budget at tile 3072
     with pytest.raises(ValueError, match="ceiling"):
-        _merge_params(plan, 1 << 20, 1 << 24)
+        params(tile=3072, window=40_000)
+    # THE r4 scoped-vmem drift case: 160 dense chunks at tile 2048
+    with pytest.raises(ValueError, match="DENSE"):
+        params(tile=2048, window=20_480)
+    # a gather-band window whose rows x chunks busts the GATHER budget
+    # at a big tile (64 rows x 118 chunks = 7552 >> 2904)
+    with pytest.raises(ValueError, match="gather"):
+        params(tile=8192, window=15_104)
+    # a gather-band window FORCED onto the dense sweep is checked
+    # against the dense budget (24 rows x 118 = 2832 > 2048)
+    with pytest.raises(ValueError, match="DENSE"):
+        params(tile=3072, window=15_104, probe_impl="merge_pallas")
+    # the same window on the auto path resolves to gather and is fine
+    params(tile=3072, window=15_104)
+    # a wide window that LEGALLY falls through to the dense sweep
+    # (140 chunks > GATHER_MAX_CHUNKS, 8 rows x 140 = 1120 <= 2048)
+    # warns about the pathological regime instead of passing silently
+    with pytest.warns(UserWarning, match="DENSE sweep"):
+        params(tile=1024, window=17_920)
+    # narrow windows pass silently
+    params(tile=3072, window=2048)
+    # the oracle path compiles nothing and is never refused
+    params(tile=2048, window=20_480, probe_impl="merge_jnp")
 
 
 def test_rowbase_select_overflow_falls_back_to_flat():
