@@ -20,6 +20,90 @@ import numpy as np
 
 BASELINE_TUPLES_PER_S = 200_000_000 / 4.4  # reference best (PHJ, KNL cache)
 
+# static anchor fallbacks (PERF_NOTES.md measurements, v5e, 2026-08):
+# used only when the live sources below are unavailable.  The floor's
+# output term stays static: at 16 B/row over ~700 GB/s it is ~0.6% of
+# the floor -- drift there is immaterial, unlike the sort anchors,
+# which r4 proved move under unchanged code (environment drift).
+STATIC_PROBE_SORT_S_PER_256M = 0.83  # C=64 batched pair sort (tuner, r3)
+STATIC_BUILD_SORT_S_PER_16M = 0.12  # 2-key 16M pair sort (staged, r4)
+OUT_GBPS = 700e9  # effective HBM stream (elementwise-pass measurement)
+
+
+def _live_probe_sort_anchor(outer_n: int, plan) -> tuple[float, str]:
+    """Probe-sort floor term from the tuner cache (.hjk_tune.json): the
+    tuner already timed THIS geometry's batched pair sort on THIS chip
+    under THIS jax release -- the freshest measurement of the floor's
+    dominant term.  Falls back to the static r3 constant (scaled
+    linearly) when no matching cache row exists (e.g. C forced by the
+    window cap, or smoke shapes the tuner never timed)."""
+    try:
+        import jax
+
+        from hash_join_codes_knl_tpu.engine.tune import (
+            _cache_path,
+            _load_cache,
+        )
+
+        dev = jax.devices()[0]
+        prefix = f"{outer_n}|{plan.tile}|"
+        suffix = f"|{jax.__version__}|{dev.device_kind}"
+        cache = _load_cache(_cache_path())
+        for key, row in cache.items():
+            if key.startswith(prefix) and key.endswith(suffix):
+                t = row["times"].get(str(plan.probe_chunks))
+                if t is not None:
+                    return float(t), f"tuner:{key}"
+    except Exception:
+        pass
+    return (
+        outer_n * (STATIC_PROBE_SORT_S_PER_256M / 256e6),
+        "static:PERF_NOTES r3 C=64 anchor (no tuner row for this geometry)",
+    )
+
+
+def _live_build_sort_anchor(ik, iv, plan, reps: int = 2) -> tuple[float, str]:
+    """Build-sort floor term measured IN-PROCESS: the production
+    2-key (hashed-key, value) pair sort at the actual build size, timed
+    with the engine's sync convention (a host scalar transfer -- the
+    sorted head depends on every input element).  ~0.3 s of bench time
+    buys an anchor that cannot rot between hand audits."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from hash_join_codes_knl_tpu.engine.phj import _merge_sort_side
+    from hash_join_codes_knl_tpu.utils.hashing import hashed_key
+
+    ni = ik.shape[0]
+    pad = -(-ni // 128) * 128
+
+    @jax.jit
+    def run(k, v):
+        ks, vs = _merge_sort_side(hashed_key(k, plan.factor), v, pad,
+                                  num_keys=2)
+        return ks[0] + vs[0]
+
+    try:
+        float(run(ik, iv))  # compile + warm
+        ts = []
+        for r in range(1, reps + 1):
+            # vary the payload: the remote-execution layer memoizes
+            # identical dispatches
+            v = iv ^ jnp.uint32(r)
+            float(v[0])  # fence generation out of the timed region
+            t0 = time.perf_counter()
+            float(run(ik, v))
+            ts.append(time.perf_counter() - t0)
+        return min(ts), f"measured-in-process:min-of-{reps}"
+    except Exception as e:
+        return (
+            ni * (STATIC_BUILD_SORT_S_PER_16M / 16e6),
+            f"static:PERF_NOTES r4 anchor (measurement failed: "
+            f"{type(e).__name__})",
+        )
+
 
 def main():
     inner_n = int(os.environ.get("HJK_BENCH_INNER", 16_000_000))
@@ -90,38 +174,27 @@ def main():
     # and v5e's only reorder primitives are the vector-ALU-bound sort, a
     # 115M elem/s gather, and no scatter).  The achievable bound =
     # cheapest measured probe chunk-sort + build pair sort + output
-    # write, scaled linearly from the measured v5e anchors (probe side:
-    # batched (8192, n/8192) pair sort 0.47 s per 256M pairs; build:
-    # 2-key 16M-pair sort 0.122 s; output: aligned 16 B/row at ~700 GB/s
-    # effective).  This is the honest denominator the engine is actually
-    # chasing; pct_hbm_stream_floor is kept for cross-hardware context.
-    # Anchors (PERF_NOTES.md): probe chunk-sort 0.65 s / 256M pairs
-    # (C=2048 batched), build 2-key sort 0.12 s / 16M pairs (the staged
-    # partition_build measurement, same sync convention as the probe
-    # anchor -- r4 correction: the earlier 0.16 anchor was looser than
-    # its own cited measurement and inflated both floor fractions),
-    # output write at ~700 GB/s effective.
-    achievable_s = (
-        outer_n * (0.65 / 256e6)
-        + inner_n * (0.12 / 16e6)
-        + outer_n * 16 / 700e9
-    )
+    # write.  The C=2048 probe-sort anchor (0.65 s / 256M pairs) stays
+    # STATIC: the probe-row span invariant proves no engine
+    # configuration can probe it, so it is a lower bound, not a live
+    # operating point, and re-timing it would cost a multi-minute
+    # remote compile per bench run.  This is context, not the target.
+    build_anchor_s, build_src = _live_build_sort_anchor(ik, iv, plan)
+    out_s = outer_n * 16 / OUT_GBPS
+    achievable_s = outer_n * (0.65 / 256e6) + build_anchor_s + out_s
     pct_achievable = 100 * achievable_s / dt
 
-    # the r3 probe-row span invariant (PERF_NOTES "Why C >= 512 chunk
-    # sorts are NOT unlockable") proves the 0.65 s C=2048 sort anchor
-    # cannot be PROBED by any select+gather variant on this chip: 128
-    # consecutive chunk-sorted probes span ~128*C*ni/no build slots, so
-    # C is capped near the measured optimum C=64 (0.83 s, tuner-timed,
-    # .hjk_tune.json).  pct_achievable_floor therefore divides by a
-    # LOWER BOUND no engine configuration attains; pct_feasible_floor
-    # divides by the cheapest PROBE-ABLE configuration's floor -- the
-    # fraction of genuinely reachable performance this engine delivers.
-    feasible_s = (
-        outer_n * (0.83 / 256e6)
-        + inner_n * (0.12 / 16e6)
-        + outer_n * 16 / 700e9
-    )
+    # pct_feasible_floor divides by the cheapest PROBE-ABLE
+    # configuration's floor -- the fraction of genuinely reachable
+    # performance this engine delivers.  Its anchors are LIVE (r5, per
+    # the r4 verdict: frozen constants rot silently in a
+    # proven-drifting environment): the probe-sort term comes from the
+    # tuner cache (timed on this chip under this jax release), the
+    # build-sort term is re-measured in-process above; provenance for
+    # both is published in the "anchors" field and diffed
+    # round-over-round by scripts/diff_anchors.py (hw_revalidate).
+    probe_anchor_s, probe_src = _live_probe_sort_anchor(outer_n, plan)
+    feasible_s = probe_anchor_s + build_anchor_s + out_s
     pct_feasible = 100 * feasible_s / dt
     print(
         json.dumps(
@@ -135,6 +208,14 @@ def main():
                 "pct_hbm_stream_floor": round(pct_floor, 2),
                 "pct_achievable_floor": round(pct_achievable, 1),
                 "pct_feasible_floor": round(pct_feasible, 1),
+                "anchors": {
+                    "probe_sort_s": round(probe_anchor_s, 4),
+                    "probe_sort_src": probe_src,
+                    "build_sort_s": round(build_anchor_s, 4),
+                    "build_sort_src": build_src,
+                    "out_gbps": OUT_GBPS / 1e9,
+                    "feasible_floor_s": round(feasible_s, 4),
+                },
                 "plan": {"tile": plan.tile, "probe_chunks": plan.probe_chunks,
                          "p_bits": plan.p_bits},
             }

@@ -53,8 +53,13 @@ PY
 note "step 1 exit $?"
 
 note "step 2: headline bench (floor fractions; drift-sensitive)"
-timeout 2400 python bench.py >> "$OUT" 2>&1
+timeout 2400 python bench.py > /tmp/hw_reval_bench.json 2>> "$OUT"
+cat /tmp/hw_reval_bench.json >> "$OUT"
 note "step 2 exit $?"
+
+note "step 2b: anchor drift vs the previous round (live-anchor diff)"
+python scripts/diff_anchors.py /tmp/hw_reval_bench.json >> "$OUT" 2>&1
+note "step 2b exit $? (1 = anchors drifted; re-ratify before comparing floors)"
 
 note "step 3: drift-sensitive matrix rows (zipf re-planned geometry)"
 timeout 3600 python scripts/bench_configs.py --only phj_zipf_1.0 >> "$OUT" 2>&1
