@@ -42,7 +42,8 @@ def main():
 
     # --- 2. the two-level engine: same result, batched chunk sorts.
     # partial_cap bounds the per-chunk group slots; an overflow is a
-    # COUNTED value and hash_aggregate_auto falls back to single-level
+    # COUNTED value and hash_aggregate_auto re-plans the budget from it
+    # (one guaranteed-clean retry; single-level only at groups ~ rows)
     from hash_join_codes_knl_tpu.ops.aggregate import (
         hash_aggregate_auto,
         hash_aggregate_chunked,
@@ -61,7 +62,21 @@ def main():
                                              partial_cap=256)
     ra = hash_aggregate_auto(keys, vals, chunks=16, partial_cap=256)
     assert int(ovf) > 0 and int(ra[0]) == g
-    print(f"tiny cap:     overflow={int(ovf)} counted -> exact fallback")
+    print(f"tiny cap:     overflow={int(ovf)} counted -> measured re-plan")
+
+    # --- 2b. M:N join output aggregated ON DEVICE: the expansion is
+    # streamed through expand_join blocks straight into partials --
+    # it never materializes in host memory (r5)
+    base = np.unique(rng.integers(1, 2**32, 600, dtype=np.uint32))[:256]
+    mn_ik = np.repeat(base, rng.integers(1, 5, 256)).astype(np.uint32)
+    mn_iv = rng.integers(0, 2**32, len(mn_ik), dtype=np.uint32)
+    mn_ok = base[rng.integers(0, 256, 4096)].astype(np.uint32)
+    mn_ov = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    mn_res, _ = hjk.join(mn_ik, mn_iv, mn_ok, mn_ov)
+    nmn, mk, msums, mcounts = hjk.aggregate_join_result_expanded(
+        mn_res, mn_ik, mn_iv, block_rows=2048)
+    print(f"M:N streamed: {int(nmn)} groups over "
+          f"{int(np.asarray(mcounts).sum())} expanded rows")
 
     # --- 3. aggregate over JOIN output: sum matched build values per
     # probe key, straight off the aligned result

@@ -30,6 +30,8 @@ _EXPORTS = {
     "hash_aggregate_chunked": ("ops.aggregate", "hash_aggregate_chunked"),
     "hash_aggregate_auto": ("ops.aggregate", "hash_aggregate_auto"),
     "aggregate_join_result": ("ops.aggregate", "aggregate_join_result"),
+    "aggregate_join_result_expanded": (
+        "ops.aggregate", "aggregate_join_result_expanded"),
     "join_oracle": ("engine.oracle", "join_oracle"),
     "multiset_digest": ("engine.oracle", "multiset_digest"),
     "data_mesh": ("parallel.distributed", "data_mesh"),

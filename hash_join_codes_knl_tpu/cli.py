@@ -389,18 +389,24 @@ def main(argv=None):
             # where the chunked two-level path cannot shrink partials
             # (ops/aggregate.py hash_aggregate_chunked is the
             # low-cardinality form).
-            from .ops.aggregate import aggregate_join_result
+            from .ops.aggregate import (
+                aggregate_join_result,
+                aggregate_join_result_expanded,
+            )
 
             try:
                 ng, _gk, gsum, _gc = timer.run(
                     "aggregate", aggregate_join_result, res
                 )
-            except ValueError as e:
+            except ValueError:
                 # M:N join output (duplicate build keys): the aligned
-                # layout can't aggregate directly -- handled exit, not
-                # a traceback (same pattern as the overflow paths)
-                print(f"AGGREGATE UNSUPPORTED: {e}", file=sys.stderr)
-                return 1
+                # layout can't aggregate directly -- stream expand_join
+                # blocks into device-side partials instead (r5; no host
+                # round-trip of the expansion)
+                ng, _gk, gsum, _gc = timer.run(
+                    "aggregate", aggregate_join_result_expanded, res,
+                    ik, iv,
+                )
             g = int(ng)
             csum = int(np.asarray(gsum)[:g].astype(np.uint64).sum())
             print(f"AGGREGATE: {g} groups, sum-checksum {csum}",

@@ -813,17 +813,14 @@ def materialize_expanded(res: JoinResult, inner_keys, inner_vals,
     counts = mc[m].astype(np.int64)
     block_rows = max(block_rows, int(counts.max()))
     cap = -(-block_rows // 128) * 128
-    # greedy block split: consecutive matched rows until the block's
-    # output would exceed block_rows
-    ends = np.cumsum(counts)
+    # greedy block split (shared with the streamed device-side M:N
+    # aggregate): consecutive matched rows until the block's output
+    # would exceed block_rows
+    from ..ops.expand import greedy_blocks
+
     outs_k, outs_v, outs_t = [], [], []
-    start, consumed = 0, 0
-    while start < len(counts):
-        stop = int(np.searchsorted(ends, consumed + block_rows,
-                                   side="right"))
-        stop = max(stop, start + 1)
+    for start, stop, blk_total in greedy_blocks(counts, block_rows):
         n_rows = stop - start
-        blk_total = int(ends[stop - 1] - consumed)
         # pad the probe block to the block row capacity: one compiled
         # expansion serves every block
         pk_b = np.zeros(cap, np.uint32)
@@ -837,7 +834,6 @@ def materialize_expanded(res: JoinResult, inner_keys, inner_vals,
         outs_k.append(np.asarray(out_k)[:blk_total])
         outs_v.append(np.asarray(out_v)[:blk_total])
         outs_t.append(np.asarray(out_t)[:blk_total])
-        start, consumed = stop, int(ends[stop - 1])
     return (
         np.concatenate(outs_k),
         np.concatenate(outs_v),

@@ -190,18 +190,134 @@ def hash_aggregate_chunked(keys, vals, chunks: int = 64,
 
 def hash_aggregate_auto(keys, vals, chunks: int = 64,
                         partial_cap: int = 1 << 22):
-    """Two-level aggregate with the exact fallback: runs
-    hash_aggregate_chunked and, if any chunk overflowed its partial
-    budget (too many distinct groups for the declared cap), discards
-    that attempt and re-runs the single-level `hash_aggregate` --
-    exact for any input, same return contract as hash_aggregate."""
+    """Two-level aggregate with a MEASURED re-plan (engine convention:
+    overflow is a value, and the next plan is sized from it, not from
+    blind escalation).  When a chunk overflows its partial budget, the
+    dropped-partial count bounds the worst chunk's true group count:
+    dropped = sum_c max(g_c - cap_c, 0) >= max_c(g_c) - cap_c, so ONE
+    retry at cap_c + dropped slots per chunk is guaranteed clean.  Only
+    when that re-planned partial size reaches the input size (groups ~
+    rows, where two-level cannot win -- its level-2 sort would be at
+    least the input sort) does it fall back to the single-level
+    `hash_aggregate`.  Exact for any input, same return contract as
+    hash_aggregate."""
+    keys, vals = jnp.asarray(keys), jnp.asarray(vals)
+    n = keys.shape[0]
     n_groups, gk, sums, counts, ovf = hash_aggregate_chunked(
-        jnp.asarray(keys), jnp.asarray(vals), chunks=chunks,
-        partial_cap=partial_cap,
+        keys, vals, chunks=chunks, partial_cap=partial_cap,
     )
-    if int(ovf) != 0:
-        return hash_aggregate(jnp.asarray(keys), jnp.asarray(vals))
+    dropped = int(ovf)
+    if dropped != 0:
+        cap_c = max(1, partial_cap // chunks)
+        new_cap = chunks * (cap_c + dropped)
+        if new_cap >= n:
+            return hash_aggregate(keys, vals)
+        n_groups, gk, sums, counts, ovf = hash_aggregate_chunked(
+            keys, vals, chunks=chunks, partial_cap=new_cap,
+        )
+        assert int(ovf) == 0, "re-planned partial budget cannot overflow"
     return n_groups, gk, sums, counts
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "budget"))
+def _expand_block_partials(build_keys, build_vals, pk_b, pv_b,
+                           cap: int, budget: int):
+    """One streamed M:N block, entirely on device: expand the block's
+    probe rows against the build relation (ops/expand.py), aggregate
+    the expanded (probe key -> build val) rows in place, and return the
+    partials sliced to the static `budget`.  ng is returned so the
+    caller can detect budget overflow and re-plan from the measured
+    group count."""
+    from .expand import expand_join
+
+    total, out_k, _out_v, out_t = expand_join(
+        build_keys, build_vals, pk_b, pv_b, cap
+    )
+    ng, gk, sums, counts = hash_aggregate(out_k, out_t)
+    return (total, ng, gk[:budget], sums[:budget],
+            counts[:budget].astype(jnp.uint32))
+
+
+def aggregate_join_result_expanded(res, inner_keys, inner_vals,
+                                   block_rows: int = 1 << 22,
+                                   partial_budget: int = 1 << 20):
+    """Device-side M:N aggregate: group the EXPANDED join output by
+    probe key, summing matched build values -- without ever
+    round-tripping the expansion through host memory.
+
+    The aligned JoinResult carries exact per-probe match counts even
+    for duplicate-key builds; matched probe rows are split into blocks
+    whose expansions fit `block_rows` (greedy_blocks, the
+    materialize_expanded planner), each block is expanded AND
+    partially aggregated in one jitted device program
+    (_expand_block_partials -- the expansion never leaves HBM), and
+    the per-block partials are reduced with the chunked aggregate's
+    2-value-column run reduction (sums add, counts add).
+
+    partial_budget caps each block's partial slots (static shape; one
+    compiled program serves every block).  A block with more groups
+    than the budget is detected from its returned ng and ALL blocks
+    re-run once at the measured max group count (exact by
+    construction: a block of `cap` rows has at most `cap` groups) --
+    the engine's measured re-plan convention, never silent truncation.
+
+    Returns (n_groups, group_keys, sums, counts) exactly like
+    aggregate_join_result; match_cnts <= 1 inputs produce identical
+    results (differentially tested), so this is the general form and
+    the aligned one the fast path.
+    """
+    import numpy as np
+
+    from .expand import greedy_blocks
+
+    mc = np.asarray(res.match_cnts).reshape(-1)
+    total = int(mc.astype(np.int64).sum())
+    if total == 0:
+        z = jnp.zeros(0, jnp.uint32)
+        return jnp.uint32(0), z, z, jnp.zeros(0, jnp.int32)
+    m = mc > 0
+    pk_np = np.asarray(res.probe_keys).reshape(-1)[m]
+    pv_np = np.asarray(res.probe_vals).reshape(-1)[m]
+    ik = jnp.asarray(inner_keys)
+    iv = jnp.asarray(inner_vals)
+    counts = mc[m].astype(np.int64)
+    block_rows = max(block_rows, int(counts.max()))
+    cap = -(-block_rows // 128) * 128
+    budget = min(cap, -(-partial_budget // 128) * 128)
+
+    def run_blocks(budget: int):
+        parts, max_ng = [], 0
+        for start, stop, blk_total in greedy_blocks(counts, block_rows):
+            n_rows = stop - start
+            pk_b = np.zeros(cap, np.uint32)
+            pv_b = np.zeros(cap, np.uint32)
+            pk_b[:n_rows] = pk_np[start:stop]
+            pv_b[:n_rows] = pv_np[start:stop]
+            got, ng, gk_b, s_b, c_b = _expand_block_partials(
+                ik, iv, jnp.asarray(pk_b), jnp.asarray(pv_b), cap, budget
+            )
+            assert int(got) == blk_total, (int(got), blk_total)
+            max_ng = max(max_ng, int(ng))
+            parts.append((gk_b, s_b, c_b))
+        return parts, max_ng
+
+    parts, max_ng = run_blocks(budget)
+    if max_ng > budget:
+        # measured re-plan: re-run at the observed worst block's group
+        # count (<= cap always, so the second pass cannot overflow)
+        budget = min(cap, -(-max_ng // 128) * 128)
+        parts, max_ng = run_blocks(budget)
+        assert max_ng <= budget
+    gk_all = jnp.concatenate([p[0] for p in parts])
+    s_all = jnp.concatenate([p[1] for p in parts])
+    c_all = jnp.concatenate([p[2] for p in parts])
+    N2 = gk_all.shape[0]
+    k2, s2, c2 = _null_last_sort(gk_all, (s_all, c_all))
+    gk2, (sums, cnts), _, g2 = _reduce_runs(
+        k2.reshape(1, N2), (s2.reshape(1, N2), c2.reshape(1, N2))
+    )
+    return (g2[0], gk2.reshape(-1), sums.reshape(-1),
+            cnts.reshape(-1).astype(jnp.int32))
 
 
 def aggregate_join_result(res):

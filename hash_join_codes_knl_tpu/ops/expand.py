@@ -20,6 +20,27 @@ import jax.numpy as jnp
 from .partition import PAD_KEY
 
 
+def greedy_blocks(counts, block_rows: int):
+    """Split matched probe rows into consecutive blocks whose summed
+    multiplicities fit `block_rows` each (host-side planning for the
+    streamed expansion).  counts: int64 numpy array of per-row match
+    multiplicities.  Yields (start, stop, block_total); a single row
+    whose multiplicity exceeds block_rows gets its own block (callers
+    auto-raise block_rows to counts.max() first, as materialize_expanded
+    and aggregate_join_result_expanded do)."""
+    import numpy as np
+
+    ends = np.cumsum(counts)
+    start, consumed = 0, 0
+    while start < len(counts):
+        stop = int(np.searchsorted(ends, consumed + block_rows,
+                                   side="right"))
+        stop = max(stop, start + 1)
+        blk_total = int(ends[stop - 1] - consumed)
+        yield start, stop, blk_total
+        start, consumed = stop, int(ends[stop - 1])
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def expand_join(
     build_keys: jnp.ndarray,

@@ -162,3 +162,24 @@ def test_npj_cli_sorted_order(capsys):
                  "--sorted-order"]) == 0
     out1 = json.loads(capsys.readouterr().out.strip())
     assert out1["join_tuples"] == out0["join_tuples"] == 8192
+
+
+def test_phj_cli_aggregate_mn(tmp_path, capsys):
+    """--aggregate on a duplicate-build (M:N) workload must stream the
+    expansion through device blocks (aggregate_join_result_expanded)
+    instead of refusing -- r5 closes the 'AGGREGATE UNSUPPORTED' gap."""
+    assert main(["write", "1", "8192", "1024", "0.5", "--dir",
+                 str(tmp_path), "--seed", "5"]) == 0
+    capsys.readouterr()
+    assert main(["phj", "1", "8192", "1024", "--dir", str(tmp_path),
+                 "--json", "--aggregate"]) == 0
+    captured = capsys.readouterr()
+    out = json.loads(captured.out.strip())
+    assert "aggregate_s" in out
+    assert "AGGREGATE:" in captured.err
+    # 1024 inner rows over 512 distinct keys (selc 0.5): genuinely M:N,
+    # and the group count is the matched distinct-key count
+    import re
+
+    g = int(re.search(r"AGGREGATE: (\d+) groups", captured.err).group(1))
+    assert 0 < g <= 512

@@ -344,3 +344,140 @@ def test_reduce_runs_helper_properties():
                                       sa[r][: g[r]])
         np.testing.assert_array_equal(np.asarray(c1)[0, : g[r]],
                                       cnts[r][: g[r]])
+
+
+def test_aggregate_join_result_expanded_mn():
+    """Device-side M:N aggregate (r5): the streamed expand->partial
+    pipeline must match a numpy groupby over the oracle's expanded
+    rows -- across multiple blocks, and through the measured budget
+    re-plan (a partial_budget below the true per-block group count)."""
+    import collections
+
+    from hash_join_codes_knl_tpu.engine.phj import join
+    from hash_join_codes_knl_tpu.ops.aggregate import (
+        aggregate_join_result_expanded,
+    )
+
+    rng = np.random.default_rng(61)
+    base = np.unique(rng.integers(1, 2**32, 900, dtype=np.uint32))[:512]
+    reps = rng.integers(1, 7, 512)  # duplicate build keys -> M:N
+    ik = np.repeat(base, reps).astype(np.uint32)
+    iv = rng.integers(0, 2**32, len(ik), dtype=np.uint32)
+    ok = base[rng.integers(0, 512, 4096)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    res, _ = join(ik, iv, ok, ov)
+    assert int(np.asarray(res.match_cnts).max()) > 1  # genuinely M:N
+
+    ek, _ev, et = join_oracle(ik, iv, ok, ov)
+    want_sum = collections.defaultdict(int)
+    want_cnt = collections.defaultdict(int)
+    for k, t in zip(ek.tolist(), et.tolist()):
+        want_sum[k] = (want_sum[k] + t) % (1 << 32)
+        want_cnt[k] += 1
+
+    def check(ng, gk, gs, gc):
+        g = int(ng)
+        gk, gs, gc = np.asarray(gk), np.asarray(gs), np.asarray(gc)
+        assert g == len(want_sum)
+        m = gk != 0
+        assert dict(zip(gk[m].tolist(), gs[m].tolist())) == dict(want_sum)
+        assert dict(zip(gk[m].tolist(), gc[m].tolist())) == dict(want_cnt)
+        # pad hygiene
+        assert not gk[g:].any() and not gs[g:].any()
+
+    # single block, ample budget
+    check(*aggregate_join_result_expanded(res, ik, iv))
+    # many blocks: expansion streamed through 512-row device blocks
+    check(*aggregate_join_result_expanded(res, ik, iv, block_rows=512))
+    # budget overflow: 128 partial slots < per-block group count ->
+    # measured re-plan (second pass at the observed max, exact)
+    check(*aggregate_join_result_expanded(res, ik, iv, block_rows=2048,
+                                          partial_budget=128))
+
+
+def test_aggregate_join_result_expanded_matches_aligned_on_1to1():
+    """On a unique-build workload the streamed M:N aggregate and the
+    aligned fast path must produce identical groups."""
+    from hash_join_codes_knl_tpu.engine.phj import join
+    from hash_join_codes_knl_tpu.ops.aggregate import (
+        aggregate_join_result,
+        aggregate_join_result_expanded,
+    )
+    from hash_join_codes_knl_tpu.relgen.generate import generate
+
+    inner, outer, _ = generate(seed=43, inner_tuples=512,
+                               outer_tuples=8192, mode="uniform",
+                               prefer_native=False)
+    res, _ = join(inner.keys, inner.vals, outer.keys, outer.vals)
+    n0, k0, s0, c0 = aggregate_join_result(res)
+    n1, k1, s1, c1 = aggregate_join_result_expanded(
+        res, inner.keys, inner.vals, block_rows=1024
+    )
+    g = int(n0)
+    assert int(n1) == g
+    np.testing.assert_array_equal(np.asarray(k1)[:g], np.asarray(k0)[:g])
+    np.testing.assert_array_equal(np.asarray(s1)[:g], np.asarray(s0)[:g])
+    np.testing.assert_array_equal(np.asarray(c1)[:g], np.asarray(c0)[:g])
+
+
+def test_hash_aggregate_auto_measured_replan():
+    """The auto wrapper must recover from a partial-budget overflow by
+    RE-PLANNING the chunked engine from the measured dropped count (one
+    guaranteed-clean retry), not by abandoning two-level for the 2x
+    single-level cliff; only groups ~ rows (re-planned partials >= the
+    input) may fall back to single-level."""
+    import hash_join_codes_knl_tpu.ops.aggregate as agg
+
+    rng = np.random.default_rng(67)
+    # 512 distinct groups over 20000 rows, 4 chunks: cap 256 (64/chunk)
+    # overflows; re-planned cap 4*(64+dropped) << n stays two-level
+    pool = np.unique(rng.integers(1, 2**32, 800, dtype=np.uint32))[:512]
+    keys = pool[rng.integers(0, 512, 20000)].astype(np.uint32)
+    vals = rng.integers(0, 2**32, 20000, dtype=np.uint32)
+    n0, k0, s0, c0 = agg.hash_aggregate(jnp.asarray(keys),
+                                        jnp.asarray(vals))
+    g = int(n0)
+
+    calls = {"single": 0, "chunked": 0}
+    real_single, real_chunked = agg.hash_aggregate, agg.hash_aggregate_chunked
+
+    def spy_single(*a, **kw):
+        calls["single"] += 1
+        return real_single(*a, **kw)
+
+    def spy_chunked(*a, **kw):
+        calls["chunked"] += 1
+        return real_chunked(*a, **kw)
+
+    agg.hash_aggregate, agg.hash_aggregate_chunked = spy_single, spy_chunked
+    try:
+        ra = agg.hash_aggregate_auto(keys, vals, chunks=4, partial_cap=256)
+    finally:
+        agg.hash_aggregate, agg.hash_aggregate_chunked = (
+            real_single, real_chunked
+        )
+    assert calls == {"single": 0, "chunked": 2}, calls
+    assert int(ra[0]) == g
+    np.testing.assert_array_equal(np.asarray(ra[1])[:g], np.asarray(k0)[:g])
+    np.testing.assert_array_equal(np.asarray(ra[2])[:g], np.asarray(s0)[:g])
+    np.testing.assert_array_equal(np.asarray(ra[3])[:g], np.asarray(c0)[:g])
+
+    # groups ~ rows: nearly all-distinct keys -- the re-planned partial
+    # size reaches the input and single-level is the right engine
+    keys2 = np.unique(rng.integers(1, 2**32, 3000, dtype=np.uint32))[:2048]
+    vals2 = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    n2, k2, s2, c2 = agg.hash_aggregate(jnp.asarray(keys2),
+                                        jnp.asarray(vals2))
+    calls = {"single": 0, "chunked": 0}
+    agg.hash_aggregate, agg.hash_aggregate_chunked = spy_single, spy_chunked
+    try:
+        rb = agg.hash_aggregate_auto(keys2, vals2, chunks=4,
+                                     partial_cap=256)
+    finally:
+        agg.hash_aggregate, agg.hash_aggregate_chunked = (
+            real_single, real_chunked
+        )
+    assert calls["single"] == 1, calls
+    assert int(rb[0]) == int(n2)
+    np.testing.assert_array_equal(np.asarray(rb[1])[:int(n2)],
+                                  np.asarray(k2)[:int(n2)])
