@@ -106,7 +106,17 @@ def liveness_check(mesh: Mesh, timeout_s: float = 30.0, axis: str = "x",
     timeout path)."""
     n = mesh.shape[axis]
     fn = _beat_fn or _heartbeat_fn(mesh, axis)
-    x = jnp.ones(n, jnp.int32)
+    if jax.process_count() > 1:
+        # a plain host array cannot be auto-sharded onto a mesh that
+        # spans processes; build the global heartbeat input explicitly
+        from jax.sharding import NamedSharding
+
+        x = jax.make_array_from_callback(
+            (n,), NamedSharding(mesh, P(axis)),
+            lambda idx: np.ones(n, np.int32)[idx],
+        )
+    else:
+        x = jnp.ones(n, jnp.int32)
     result: list[bool] = []
 
     def run():
