@@ -164,14 +164,25 @@ def _merge_sort_probe(hk, vals, pad_to, chunks: int):
     one batched 2-D sort over (chunks, pad_to/chunks) rows -- measurably
     cheaper than the 1-D path (PERF_NOTES.md), each chunk independently
     hash-ordered.  Downstream needs nothing else: windows are per tile,
-    and _merge_params already widened them to the chunk-local span."""
+    and _merge_params already widened them to the chunk-local span.
+
+    The flat->(C, L) move is semantically a reshape but PHYSICALLY a
+    retiling (1-D T(1024) -> 2-D T(8,128)); XLA lowers it as a serial
+    while loop at ~68 GB/s -- 2 x ~32 ms of the fused headline (r5
+    trace, artifacts/trace_r5_fused).  On TPU the explicit block-DMA
+    kernel (ops/chunk_layout.py) does the identical move at stream
+    bandwidth; the reverse direction (sorted rows -> flat) already
+    lowers to an efficient copy and stays XLA's."""
     if chunks <= 1:
         return _merge_sort_side(hk, vals, pad_to)
     hk_p, v_p = _pad_pair(hk, vals, pad_to)
-    hk2, v2 = jax.lax.sort(
-        (hk_p.reshape(chunks, -1), v_p.reshape(chunks, -1)),
-        dimension=1, num_keys=1,
-    )
+    if _on_tpu() and chunks % 8 == 0:
+        from ..ops.chunk_layout import flat_to_rows
+
+        hk_r, v_r = flat_to_rows(hk_p, chunks), flat_to_rows(v_p, chunks)
+    else:
+        hk_r, v_r = hk_p.reshape(chunks, -1), v_p.reshape(chunks, -1)
+    hk2, v2 = jax.lax.sort((hk_r, v_r), dimension=1, num_keys=1)
     return hk2.reshape(-1), v2.reshape(-1)
 
 

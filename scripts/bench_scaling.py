@@ -65,9 +65,13 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from hash_join_codes_knl_tpu.engine.config import plan_join
-    from hash_join_codes_knl_tpu.parallel.cpra import make_cpra_step
+    from hash_join_codes_knl_tpu.parallel.cpra import (
+        make_cpra_step,
+        make_cpra_steps_staged,
+    )
     from hash_join_codes_knl_tpu.parallel.distributed import data_mesh
     from hash_join_codes_knl_tpu.relgen.generate import generate
+    from hash_join_codes_knl_tpu.utils.timing import PhaseTimer
 
     n_dev = len(jax.devices())
     cores = os.cpu_count() or 1
@@ -104,6 +108,28 @@ def main():
             run(r)
             ts.append(time.perf_counter() - t0)
         sec = float(np.median(ts))
+        # per-stage device metering (exchange vs local join, the
+        # cpra2.cpp:1895-1905 copy-time split): a future real-slice run
+        # needs the STAGE ratio to interpret total-efficiency numbers
+        # -- exchange grows with the mesh (all_to_all) while the local
+        # join should stay flat under weak scaling.  One staged pass
+        # per mesh size; wall-time totals above stay the fused program.
+        exch_fn, join_fn = make_cpra_steps_staged(
+            mesh, plan, inner_cap, outer_cap)
+        stage_meds = {"exchange": [], "local_join": []}
+        for r in range(args.reps):
+            timer = PhaseTimer()
+            ex = timer.run("exchange", exch_fn, ik, iv, ok,
+                           ov ^ jnp.uint32(100 + r))
+            assert not bool(np.asarray(ex[-1]).reshape(-1)[0]), \
+                "exchange overflow"
+            timer.run("local_join", join_fn, *ex[:4])
+            if r == 0:
+                continue  # compile + warm
+            for k in stage_meds:
+                stage_meds[k].append(timer.phases[k])
+        stages = {k: round(float(np.median(v)), 4) if v else None
+                  for k, v in stage_meds.items()}
         if t1 is None:
             t1 = sec
         eff = t1 / sec
@@ -121,6 +147,7 @@ def main():
             "weak_scaling_efficiency": round(eff, 4),
             "serialization_corrected_efficiency": round(eff_corr, 4),
             "join_tuples": jt,
+            "stage_seconds": stages,
         }
         print(f"mesh={m:3d}  {sec:8.4f}s  {O/sec/1e6:8.2f} M rows/s  "
               f"eff={eff:.2%}  corrected={eff_corr:.2%}", flush=True)

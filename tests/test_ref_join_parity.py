@@ -210,11 +210,23 @@ HBW_STUB = (
     "static inline void* hbw_realloc(void* p, size_t s){return realloc(p,s);}\n"
 )
 
+# NOTE on build-side multiplicity (write.cpp:1526-1538): inner keys are
+# the distinct slice (inner_distinct = min(inner, outer)) followed by
+# uniform REPEATS, so any inner > outer workload has duplicate build
+# keys.  "outer_small" is therefore already M:N (max multiplicity ~9 at
+# seed 7); "dup_build" pins the heavy-duplication contract explicitly
+# (3x mean multiplicity) and test_cpra_binary_join_matches_engine
+# asserts the workload is genuinely multi-match before trusting the
+# comparison.
 WORKLOADS = {
     "even": dict(inner=500_000, outer=500_000, selc=1.0),
     "outer_small": dict(inner=500_000, outer=250_000, selc=1.0),
     "half_selc": dict(inner=500_000, outer=500_000, selc=0.5),
+    "dup_build": dict(inner=600_000, outer=200_000, selc=1.0),
 }
+# workloads whose BUILD side carries duplicate keys (M:N output):
+# the parity test must prove the multiplicity is really there
+MN_WORKLOADS = {"outer_small", "dup_build"}
 
 
 @pytest.fixture(scope="module")
@@ -328,10 +340,16 @@ def _engine_digest(inner, outer):
 def test_cpra_binary_join_matches_engine(harness, name):
     """The checked-in cpra binary's full join output (key, outer val,
     inner val rows) must equal the oracle AND this repo's engine as a
-    multiset -- T=1, the reference's exact-output contract."""
+    multiset -- T=1, the reference's exact-output contract.  M:N
+    workloads (duplicate build keys, write.cpp:1526-1538 inner repeats)
+    are asserted genuinely multi-match so the expanded-output parity
+    cannot silently degrade to 1:1."""
     d, data, _ = harness
     inner, outer, wd = data[name]
     w = WORKLOADS[name]
+    if name in MN_WORKLOADS:
+        _, mult = np.unique(inner.keys, return_counts=True)
+        assert mult.max() > 1, "workload must have duplicate build keys"
     dumps = _run_with_dumps(d, wd, w, CPRA_BIN,
                             ["1", str(w["outer"]), str(w["inner"])])
     want = join_oracle(inner.keys, inner.vals, outer.keys, outer.vals)
