@@ -100,6 +100,17 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
     chunks = max(1, plan.probe_chunks)
     quantum = tile * chunks
     cap = -(-no // quantum) * quantum
+    if chunks % 8 == 0 and (cap // chunks) % 1024:
+        # round the per-chunk row length up to a 1024 multiple (pad is
+        # <= 7 tiles/chunk, ~0.2% worst case): the flat->rows block-DMA
+        # kernel (ops/chunk_layout.py) needs 1024-divisible rows, and
+        # without this only 1024-multiple tiles (2048/3072) get its
+        # ~10x relayout saving -- re-planned tiles like the zipf 896
+        # would silently fall back to XLA's serial-loop retiling.
+        # tile-3072/2048 caps are already aligned, so the headline
+        # program's shapes are untouched.
+        quantum *= 8
+        cap = -(-no // quantum) * quantum
     if plan.window:
         window = plan.window
         # an EXPLICIT window past the resolved kernel's scoped-vmem
