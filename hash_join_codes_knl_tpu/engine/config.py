@@ -33,6 +33,16 @@ class JoinPlan:
     # forced variants) | "auto"/"pallas"/"jnp" (padded-partition table probe)
     probe_impl: str = "merge"
     window: int = 0  # merge-mode probe window in slots (0 = auto estimate)
+    # two-class skew geometry (r5): when > 0, `window` is the NARROW
+    # class width and tiles whose measured span exceeds it re-probe in a
+    # second compact pass at window_wide slots (prefetch-indexed block
+    # scatter, ops/merge_probe_gather.merge_probe_gather_indexed).
+    # Requires an explicit `window`; wide_cap bounds the wide class's
+    # static size (0 = n_tiles/16 at trace time); more wide tiles than
+    # wide_cap is a COUNTED plan-opt violation (build_counts[2]) and
+    # every driver downgrades to the single-class window_wide geometry.
+    window_wide: int = 0
+    wide_cap: int = 0
     # gather-probe boundary-select engine: "auto" (policy in
     # engine/phj.py: rowbase where its K-slice has margin, else flat) |
     # "flat" | "hier" | "rowbase".  The rowbase K-slice can overflow on

@@ -111,6 +111,22 @@ def _merge_params(plan: JoinPlan, ni: int, no: int):
         # program's shapes are untouched.
         quantum *= 8
         cap = -(-no // quantum) * quantum
+    if plan.window_wide:
+        # two-class geometry: window (narrow) must be explicit -- the
+        # auto estimator sizes for uniform densities, which is exactly
+        # what a two-class plan is overriding -- and the wide pass is
+        # always the gather kernel (indexed variant), so its width must
+        # sit inside the gather band and compile budget
+        if not plan.window or plan.window_wide <= plan.window:
+            raise ValueError(
+                "window_wide requires an explicit narrow window smaller "
+                f"than it (got window={plan.window}, "
+                f"window_wide={plan.window_wide})"
+            )
+        _check_explicit_window(
+            dataclasses.replace(plan, probe_impl="merge_gather"),
+            tile, plan.window_wide,
+        )
     if plan.window:
         window = plan.window
         # an EXPLICIT window past the resolved kernel's scoped-vmem
@@ -197,13 +213,30 @@ def _merge_sort_probe(hk, vals, pad_to, chunks: int):
     return hk2.reshape(-1), v2.reshape(-1)
 
 
-def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
+def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int,
+                   window_wide: int = 0, wide_cap: int = 0):
     """Per-tile window rows from prefix sums (searchsorted of tile bounds).
 
     Returns (wrow, stats) with stats = [overflow_tile_count, max_span]:
     the count of tiles whose span exceeds `window` (must be 0 for a valid
     probe) and the largest REQUIRED span -- the re-planner sizes the next
-    window directly from it instead of blind doubling."""
+    window directly from it instead of blind doubling.
+
+    window_wide > 0 (the r5 two-class skew geometry) adds a third return
+    value (tile_idx, wrow_wide, wide_cap_overflow): the first wide_cap
+    tiles whose span exceeds the narrow `window` (their blocks re-probe
+    in the compact wide pass; pad entries repeat real tiles --
+    idempotent, see merge_probe_gather_indexed), their anchors
+    re-clamped for the wide width, and the COUNT of wide tiles beyond
+    wide_cap (a plan-opt violation: the caller downgrades to
+    single-class at window_wide).  stats[0] then counts only spans
+    exceeding the WIDE window (the true re-plan signal).
+
+    Anchor math note the wide pass relies on: a LOWER anchor with a
+    wider window is always exact -- rows before the left-search-minus-1
+    anchor hold keys strictly below the tile's minimum (sorted build),
+    so extra low slots can never match, and extra high slots hold keys
+    past the tile's max."""
     lo = ohk_s[::tile]
     hi = ohk_s[tile - 1 :: tile]
     # windows only need 128-slot (row) precision, so the searches run
@@ -237,11 +270,30 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int):
     # a probe tile straddling the pad/real boundary must anchor its window
     # at the last row that can hold a real build tuple's run start
     first_real = found[2 * n] - 1
-    wrow = jnp.maximum(wrow, first_real)
-    wrow = jnp.clip(wrow, 0, rows_total - window // 128)
+    wrow_raw = jnp.maximum(wrow, first_real)
+    wrow = jnp.clip(wrow_raw, 0, rows_total - window // 128)
     span = (hi_row - wrow) * 128
-    overflow = jnp.sum((span > window).astype(jnp.int32))
-    return wrow, jnp.stack([overflow, jnp.max(span, initial=0)])
+    if not window_wide:
+        overflow = jnp.sum((span > window).astype(jnp.int32))
+        return wrow, jnp.stack([overflow, jnp.max(span, initial=0)])
+    wrow_w = jnp.clip(wrow_raw, 0, rows_total - window_wide // 128)
+    span_w = (hi_row - wrow_w) * 128
+    wide = span > window
+    n_wide = jnp.sum(wide.astype(jnp.int32))
+    overflow = jnp.sum((wide & (span_w > window_wide)).astype(jnp.int32))
+    max_span = jnp.max(jnp.where(wide, span_w, span), initial=0)
+    wide_ovf = jnp.maximum(n_wide - wide_cap, 0)
+    # wide tiles compacted to the front, ascending within each class
+    # (stable via the index as secondary sort key); pads repeat narrow
+    # tiles, whose re-probe at the wide geometry is idempotent
+    _, order = jax.lax.sort(
+        (jnp.where(wide, jnp.uint32(0), jnp.uint32(1)),
+         jnp.arange(n, dtype=jnp.uint32)),
+        num_keys=2,
+    )
+    tidx = order[:wide_cap].astype(jnp.int32)
+    return (wrow, jnp.stack([overflow, max_span]),
+            (tidx, wrow_w[tidx], wide_ovf))
 
 
 # Measured crossover (v5e, tile 3072, 83K tiles): dense 640=0.34s
@@ -389,7 +441,8 @@ def _gather_select(plan: JoinPlan, window: int) -> str:
 
 
 def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
-                 tile: int, window: int, rows_total: int) -> JoinResult:
+                 tile: int, window: int, rows_total: int,
+                 wide=None) -> JoinResult:
     from ..ops.merge_probe_pallas import merge_probe_jnp, merge_probe_pallas
 
     bhk2 = bhk.reshape(rows_total, 128)
@@ -407,8 +460,26 @@ def _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan: JoinPlan,
         )
     elif impl == "merge_pallas":
         mv, mc = merge_probe_pallas(ohk_s, bhk2, bval2, wrow, tile, window)
+    elif wide is not None:
+        # jnp oracle of the two-class geometry: ONE pass at the wide
+        # width is exact for every tile (lower-anchor/wider-window
+        # idempotence, _merge_windows docstring; dynamic_slice clamps
+        # the tail anchors), so the oracle needs no second pass
+        mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile,
+                                 plan.window_wide)
     else:
         mv, mc = merge_probe_jnp(ohk_s, bhk2, bval2, wrow, tile, window)
+    if wide is not None and impl != "merge_jnp":
+        from ..ops.merge_probe_gather import merge_probe_gather_indexed
+
+        tidx, wrow_c, wide_ovf = wide
+        mv, mc = merge_probe_gather_indexed(
+            ohk_s, bhk2, bval2, wrow_c, tidx, mv, mc, tile,
+            plan.window_wide,
+        )
+        sovf = sovf + wide_ovf.astype(jnp.int32)
+    elif wide is not None:
+        sovf = sovf + wide[2].astype(jnp.int32)
     inv = jnp.uint32(mod_inverse_u32(plan.factor))
     # build_counts in merge mode: [overflow_tile_count, max_required_span,
     # plan-optimization violation count].  The third entry is the shared
@@ -462,9 +533,18 @@ def phj_join_merge(
         hashed_key(outer_keys, plan.factor), outer_vals, cap,
         max(1, plan.probe_chunks),
     )
-    wrow, overflow = _merge_windows(bhk, ohk_s, tile, window, rows_total)
+    if plan.window_wide:
+        wcap = plan.wide_cap or max(8, cap // tile // 16)
+        wrow, overflow, wide = _merge_windows(
+            bhk, ohk_s, tile, window, rows_total,
+            window_wide=plan.window_wide, wide_cap=wcap,
+        )
+    else:
+        wrow, overflow = _merge_windows(bhk, ohk_s, tile, window,
+                                        rows_total)
+        wide = None
     return _merge_probe(bhk, bval, ohk_s, ov_s, wrow, overflow, plan,
-                        tile, window, rows_total)
+                        tile, window, rows_total, wide=wide)
 
 
 @functools.lru_cache(maxsize=32)
@@ -486,12 +566,28 @@ def _staged_fns(plan: JoinPlan, tile: int, window: int, rows_total: int):
         return _merge_sort_probe(hashed_key(k, f), v, p, chunks)
 
     sort_side = jax.jit(_sort, static_argnums=(2, 3))
-    windows = jax.jit(
-        lambda b, o: _merge_windows(b, o, tile, window, rows_total)
-    )
-    probe = jax.jit(
-        lambda *a: _merge_probe(*a, plan, tile, window, rows_total)
-    )
+    if plan.window_wide:
+        # the staged pipeline threads the two-class artifacts from the
+        # windows stage into the probe stage as explicit values
+        def _win2(b, o, n_tiles):
+            wcap = plan.wide_cap or max(8, n_tiles // 16)
+            return _merge_windows(b, o, tile, window, rows_total,
+                                  window_wide=plan.window_wide,
+                                  wide_cap=wcap)
+
+        windows = jax.jit(_win2, static_argnums=(2,))
+        probe = jax.jit(
+            lambda bhk, bval, ohk, ov, wrow, overflow, wide:
+            _merge_probe(bhk, bval, ohk, ov, wrow, overflow, plan,
+                         tile, window, rows_total, wide=wide)
+        )
+    else:
+        windows = jax.jit(
+            lambda b, o: _merge_windows(b, o, tile, window, rows_total)
+        )
+        probe = jax.jit(
+            lambda *a: _merge_probe(*a, plan, tile, window, rows_total)
+        )
     return sort_side, windows, probe
 
 
@@ -510,6 +606,11 @@ def phj_join_merge_staged(inner_keys, inner_vals, outer_keys, outer_vals,
                           inner_vals, rows_total * 128, True)
     ohk_s, ov_s = timer.run("partition_probe", sort_side, outer_keys,
                             outer_vals, cap)
+    if plan.window_wide:
+        wrow, overflow, wide = timer.run("windows", windows, bhk, ohk_s,
+                                         cap // tile)
+        return timer.run("probe", probe, bhk, bval, ohk_s, ov_s, wrow,
+                         overflow, wide)
     wrow, overflow = timer.run("windows", windows, bhk, ohk_s)
     return timer.run("probe", probe, bhk, bval, ohk_s, ov_s, wrow, overflow)
 
@@ -629,13 +730,19 @@ def _phj_join_padded_radix(inner_keys, inner_vals, outer_keys, outer_vals,
 
 def downgrade_plan_opts(plan: JoinPlan) -> JoinPlan:
     """Re-plan response to a counted plan-optimization violation
-    (build_counts[2] in merge mode): drop BOTH opportunistic flags --
-    rowbase select (span exceeded its K-slice) and unique_build
-    (duplicate build keys found).  Geometry is untouched, so spill
-    fingerprints and chunk layouts stay valid; the downgraded plan is
-    exact for any input.  Shared by every merge-mode retry loop."""
+    (build_counts[2] in merge mode): drop EVERY opportunistic flag --
+    rowbase select (span exceeded its K-slice), unique_build (duplicate
+    build keys found), and the two-class window split (more wide tiles
+    than wide_cap: the single-class window_wide geometry is the
+    unconditionally-exact form).  Geometry is untouched (the two-class
+    collapse keeps the same tile/chunks and widens only the window), so
+    spill fingerprints and chunk layouts stay valid.  Shared by every
+    merge-mode retry loop."""
+    kw = {}
+    if plan.window_wide:
+        kw = dict(window=plan.window_wide, window_wide=0, wide_cap=0)
     return dataclasses.replace(plan, gather_select="flat",
-                               unique_build=False)
+                               unique_build=False, **kw)
 
 
 def window_from_span(span: int) -> int:
@@ -679,6 +786,12 @@ def replan_from_span(plan: JoinPlan, span: int) -> JoinPlan:
     the cap (one chunk past it silently drops to the dense sweep,
     pathological at these widths).  Shared by the single-chip `join` and
     the distributed `cpra_join` re-planners."""
+    if plan.window_wide:
+        # a WINDOW overflow under two-class means even the wide width
+        # missed a span: collapse to single-class first (the narrow
+        # split was sized from stale span data), then re-derive
+        plan = dataclasses.replace(plan, window=plan.window_wide,
+                                   window_wide=0, wide_cap=0)
     GATHER_CAP = replan_window_cap(plan.tile)
     span = max(int(span), 128)
     C = max(1, plan.probe_chunks)

@@ -48,6 +48,7 @@ from .merge_probe_pallas import (
     _BIAS,
     make_window_probe_kernel,
     window_probe_call,
+    window_probe_call_indexed,
 )
 
 
@@ -342,3 +343,36 @@ def merge_probe_gather(
     return window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
                              window_row, tile, window, interpret,
                              has_sovf=has_sovf)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "window", "interpret"))
+def merge_probe_gather_indexed(
+    probe_hk: jnp.ndarray,
+    build_hk2d: jnp.ndarray,
+    build_val2d: jnp.ndarray,
+    wrow_compact: jnp.ndarray,  # (max_wide,) anchors clamped for `window`
+    tile_idx: jnp.ndarray,  # (max_wide,) tile ids; pads repeat a real id
+    mv_in: jnp.ndarray,
+    mc_in: jnp.ndarray,
+    tile: int,
+    window: int,
+    interpret: bool = False,
+):
+    """The gather-select probe over a COMPACT tile subset (the r5
+    two-class skew geometry's WIDE pass): probes only tiles tile_idx at
+    `window`, overwriting their blocks of (mv_in, mc_in) in place
+    (window_probe_call_indexed).  flat select only -- the wide class is
+    small by construction and the opportunistic selects' overflow
+    channel is not worth plumbing through the aliased pass."""
+    assert window % 128 == 0 and window // 128 <= 128, window
+    max_wide = tile_idx.shape[0]
+    kernel = make_window_probe_kernel(
+        window // 128, max_wide,
+        _gather_row_result_factory(window // 128, False, "flat", 16),
+        has_sovf=False,
+    )
+    return window_probe_call_indexed(
+        kernel, probe_hk, build_hk2d, build_val2d, wrow_compact,
+        tile_idx, mv_in, mc_in, tile, window, interpret,
+    )

@@ -231,6 +231,88 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
     return mv.reshape(cap), mc.reshape(cap), sovf
 
 
+def window_probe_call_indexed(kernel, probe_hk, build_hk2d, build_val2d,
+                              wrow_compact, tile_idx, mv_in, mc_in,
+                              tile: int, window: int, interpret: bool):
+    """Second-class probe pass over a COMPACT tile subset (r5 two-class
+    window geometry for skew): grid step j probes tile tile_idx[j] at
+    `window` (typically the wide class's width), writing its (mv, mc)
+    blocks IN PLACE onto the first pass's outputs (input_output_aliases
+    -- TPU has no scatter, but a prefetch-indexed output BlockSpec is
+    exactly a block scatter).  tile_idx is a scalar-prefetch operand, so
+    the subset size is static (max_wide) while membership is dynamic;
+    PAD entries must repeat a real entry (re-probing a tile at a
+    wider window anchored at a covering wrow is idempotent: extra
+    window slots hold keys past the tile's max and add no matches).
+
+    wrow_compact[j] is tile_idx[j]'s window anchor CLAMPED for this
+    window's width.  Returns (mv, mc) with the subset's blocks
+    replaced."""
+    cap = probe_hk.shape[0]
+    n_tiles = cap // tile
+    r_rows = tile // 128
+    assert window % 128 == 0, window
+    max_wide = tile_idx.shape[0]
+    probe3d = probe_hk.reshape(n_tiles, r_rows, 128)
+    n_chunks = -(-max_wide // 128)
+    wrow2 = jnp.concatenate(
+        [wrow_compact.astype(jnp.int32),
+         jnp.zeros(n_chunks * 128 - max_wide, jnp.int32)]
+    ).reshape(n_chunks, 128)
+
+    def wrapped(tidx_ref, wrow_hbm, probe_ref, bhk_hbm, bval_hbm,
+                mv_in_ref, mc_in_ref, mval_ref, mcnt_ref, *scratch):
+        # the aliased inputs arrive as refs but the kernel fully
+        # overwrites its output blocks; unvisited blocks keep the
+        # first pass's values through the aliasing
+        del tidx_ref, mv_in_ref, mc_in_ref
+        kernel(wrow_hbm, probe_ref, bhk_hbm, bval_hbm, mval_ref,
+               mcnt_ref, *scratch)
+
+    def by_tidx(j, tidx):
+        return (tidx[j], 0, 0)
+
+    blk = lambda: pl.BlockSpec((1, r_rows, 128), by_tidx,
+                               memory_space=pltpu.VMEM)
+    w_chunks = window // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(max_wide,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk(),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk(),
+            blk(),
+        ],
+        out_specs=[blk(), blk()],
+        scratch_shapes=[
+            pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
+            pltpu.VMEM((2, w_chunks, 128), jnp.uint32),
+            pltpu.SMEM((2, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    mv3 = mv_in.reshape(n_tiles, r_rows, 128)
+    mc3 = mc_in.reshape(n_tiles, r_rows, 128)
+    mv, mc = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, r_rows, 128), jnp.int32),
+        ],
+        # args after the prefetch operand: wrow2=1, probe3d=2, bhk=3,
+        # bval=4, mv_in=5, mc_in=6 -> outputs 0, 1
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(tile_idx.astype(jnp.int32), wrow2, probe3d, build_hk2d,
+      build_val2d, mv3, mc3)
+    return mv.reshape(cap), mc.reshape(cap)
+
+
 def _dense_row_result_factory(w_chunks: int):
     # NOTE on a rejected optimization: both the tile and the window are
     # sorted, so per-(row, chunk) range-overlap skipping looks attractive

@@ -664,3 +664,119 @@ def test_unique_build_skips_secondary_sort_and_validates():
     k2, v2, t2 = materialize_expanded(res2, ik2, iv2)
     want2 = multiset_digest(*join_oracle(ik2, iv2, ok, ov))
     assert multiset_digest(k2, v2, t2) == want2
+
+
+def _mk_skewish(seed=131, ni=4096, no=65536):
+    rng = np.random.default_rng(seed)
+    ik = np.unique(rng.integers(1, 2**32, ni + 800, dtype=np.uint32))[:ni]
+    iv = rng.integers(0, 2**32, ni, dtype=np.uint32)
+    ok = ik[rng.integers(0, ni, no)].astype(np.uint32)
+    ov = rng.integers(0, 2**32, no, dtype=np.uint32)
+    return ik, iv, ok, ov
+
+
+def _two_class_plan(window=384, window_wide=1920, wide_cap=128):
+    import dataclasses
+
+    return dataclasses.replace(
+        plan_join(4096, 65536, tile=512), probe_chunks=8,
+        window=window, window_wide=window_wide, wide_cap=wide_cap,
+    )
+
+
+def test_two_class_windows_match_oracle(monkeypatch):
+    """r5 two-class skew geometry: narrow first pass + compact
+    prefetch-indexed wide pass must be exact -- verified on interpret-
+    mode kernels (narrow resolves DENSE at 3 chunks, wide is the
+    indexed gather) AND on the pure-jnp oracle path, against the golden
+    join.  The workload's tile spans straddle the narrow window so both
+    classes are genuinely populated."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import hash_join_codes_knl_tpu.engine.phj as phj
+    import hash_join_codes_knl_tpu.ops.merge_probe_gather as mg
+    import hash_join_codes_knl_tpu.ops.merge_probe_pallas as mp
+
+    ik, iv, ok, ov = _mk_skewish()
+    plan = _two_class_plan()
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+
+    # jnp path (CPU default): one pass at the wide width
+    res_j = phj.phj_join(jnp.asarray(ik), jnp.asarray(iv),
+                         jnp.asarray(ok), jnp.asarray(ov), plan)
+    bc = np.asarray(res_j.build_counts)
+    assert bc[0] == 0 and bc[2] == 0, bc
+    from hash_join_codes_knl_tpu.engine.phj import materialize
+
+    assert multiset_digest(*materialize(res_j)) == want
+
+    # kernel path (interpret mode, forced on-TPU resolution)
+    monkeypatch.setattr(phj, "_on_tpu", lambda: True)
+    import hash_join_codes_knl_tpu.ops.chunk_layout as cl
+
+    monkeypatch.setattr(
+        cl, "flat_to_rows",
+        functools.partial(cl.flat_to_rows, interpret=True))
+    monkeypatch.setattr(
+        mp, "merge_probe_pallas",
+        functools.partial(mp.merge_probe_pallas, interpret=True))
+    monkeypatch.setattr(
+        mg, "merge_probe_gather",
+        functools.partial(mg.merge_probe_gather, interpret=True))
+    monkeypatch.setattr(
+        mg, "merge_probe_gather_indexed",
+        functools.partial(mg.merge_probe_gather_indexed, interpret=True))
+    res_k = phj.phj_join_merge(jnp.asarray(ik), jnp.asarray(iv),
+                               jnp.asarray(ok), jnp.asarray(ov), plan)
+    bc = np.asarray(res_k.build_counts)
+    assert bc[0] == 0 and bc[2] == 0, bc
+    assert multiset_digest(*materialize(res_k)) == want
+    # sanity: the wide class is genuinely populated at this geometry
+    from hash_join_codes_knl_tpu.engine.phj import (
+        _merge_params,
+        _merge_sort_probe,
+        _merge_sort_side,
+    )
+    from hash_join_codes_knl_tpu.utils.hashing import hashed_key
+
+    t, w, r, cap = _merge_params(plan, len(ik), len(ok))
+    bhk, _ = _merge_sort_side(hashed_key(jnp.asarray(ik), plan.factor),
+                              jnp.asarray(iv), r * 128, 2)
+    ohk, _ = _merge_sort_probe(hashed_key(jnp.asarray(ok), plan.factor),
+                               jnp.asarray(ov), cap, 8)
+    _, _, (tidx, _, wide_ovf) = phj._merge_windows(
+        bhk, ohk, t, w, r, window_wide=plan.window_wide,
+        wide_cap=plan.wide_cap)
+    assert int(wide_ovf) == 0
+    assert len(np.unique(np.asarray(tidx))) > 4, "wide class too small"
+
+
+def test_two_class_wide_cap_overflow_downgrades():
+    """More wide tiles than wide_cap is a COUNTED plan-opt violation:
+    join() must downgrade to single-class at window_wide and return
+    exact results (CPU jnp engine; the violation channel is the same
+    build_counts[2] the kernels use)."""
+    from hash_join_codes_knl_tpu.engine.phj import join, materialize
+
+    ik, iv, ok, ov = _mk_skewish(seed=137)
+    plan = _two_class_plan(wide_cap=2)  # far below the real wide count
+    res, final = join(ik, iv, ok, ov, plan)
+    assert final.window_wide == 0 and final.window == 1920
+    want = multiset_digest(*join_oracle(ik, iv, ok, ov))
+    assert multiset_digest(*materialize(res)) == want
+
+
+def test_two_class_plan_validation():
+    import pytest
+
+    from hash_join_codes_knl_tpu.engine.phj import _merge_params
+
+    with pytest.raises(ValueError, match="explicit narrow"):
+        _merge_params(_two_class_plan(window=0), 4096, 65536)
+    with pytest.raises(ValueError, match="explicit narrow"):
+        _merge_params(_two_class_plan(window=1920, window_wide=1920),
+                      4096, 65536)
+    with pytest.raises(ValueError, match="gather"):
+        _merge_params(_two_class_plan(window_wide=40_000), 4096, 65536)
