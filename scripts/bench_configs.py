@@ -394,7 +394,15 @@ def main():
         assert got == expected_join_tuples(npj_I, npj_O) % (1 << 32), got
         record("phj_radix_4096way", npj_O, _sync_run(run_radix, reps=2),
                {"note": f"{npj_I}x{npj_O}: padded radix engine, "
-                        "pass_bits=(6,6) -- the cpra2.cpp:2023 fanout",
+                        "pass_bits=(6,6) -- the cpra2.cpp:2023 fanout. "
+                        "Deliberately NOT run at the 16Mx256M headline "
+                        "shape: the pass pads every region to ~4x the "
+                        "mean (its VMEM run bound), so the probe side "
+                        "alone would stage ~2x 4 GB double-buffered "
+                        "padded copies -- past the 16 GB chip with the "
+                        "relations resident (OOM, not an oversight); "
+                        "merge mode is the at-scale engine, this row "
+                        "records the reference fanout's measured cost",
                 "pass_bits": [6, 6]})
         del run_radix
 
