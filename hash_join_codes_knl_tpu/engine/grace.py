@@ -529,6 +529,9 @@ def grace_join(
         total += jt
         _journal_append(spill_dir, p, jt)
         if on_partition:
+            # consumers index the flat padded layout; chunk-row 2-D
+            # results flatten here (cheap direction, once per partition)
+            res = res.flat()
             raw_pk = (
                 np.asarray(res.probe_keys).astype(np.uint64) * inv
                 % (1 << 32)

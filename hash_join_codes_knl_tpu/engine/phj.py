@@ -46,10 +46,20 @@ from ..utils.host import on_tpu as _on_tpu  # shared platform probe
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class JoinResult:
-    probe_keys: jnp.ndarray  # (cap,) padded probe layout
-    probe_vals: jnp.ndarray  # (cap,)
-    match_vals: jnp.ndarray  # (cap,) build val (max over matches)
-    match_cnts: jnp.ndarray  # (cap,) number of build matches
+    """Aligned join output.  The four padded columns share one shape:
+    flat (cap,) or, from the chunk-sorted merge path, chunk-row 2-D
+    (C, cap/C) -- whose row-major flattening IS the (cap,) padded
+    layout (slot order identical).  The 2-D form exists because each
+    final (C, L) -> flat reshape is a ~5 ms physical retiling per 256M
+    column on v5e (r5 trace); emitting the sort's native form lets XLA
+    collapse every internal reshape pair.  Host consumers flatten for
+    free with np.asarray(col).reshape(-1); device consumers that need
+    1-D call .flat() (one cheap-direction copy per column)."""
+
+    probe_keys: jnp.ndarray  # (cap,) or (C, cap/C) padded probe layout
+    probe_vals: jnp.ndarray  # same shape
+    match_vals: jnp.ndarray  # same shape; build val (max over matches)
+    match_cnts: jnp.ndarray  # same shape; number of build matches
     build_counts: jnp.ndarray  # (P,) build partition occupancy
 
     def tree_flatten(self):
@@ -62,6 +72,21 @@ class JoinResult:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    def flat(self) -> "JoinResult":
+        """This result with 1-D (cap,) padded columns.  A no-op for flat
+        results; for chunk-row 2-D results it is the cheap-direction
+        retiling (sorted rows -> flat lowers to an efficient copy,
+        unlike the reverse -- PERF_NOTES r5).  Distributed steps call
+        this before returning through shard_map out_specs, which shard
+        leaf dim 0 and so expect the flat layout."""
+        if self.probe_keys.ndim == 1:
+            return self
+        r = lambda x: x.reshape(-1)
+        return JoinResult(
+            r(self.probe_keys), r(self.probe_vals), r(self.match_vals),
+            r(self.match_cnts), self.build_counts,
+        )
 
     @property
     def join_tuples(self) -> jnp.ndarray:
@@ -199,7 +224,13 @@ def _merge_sort_probe(hk, vals, pad_to, chunks: int):
     trace, artifacts/trace_r5_fused).  On TPU the explicit block-DMA
     kernel (ops/chunk_layout.py) does the identical move at stream
     bandwidth; the reverse direction (sorted rows -> flat) already
-    lowers to an efficient copy and stays XLA's."""
+    lowers to an efficient copy and stays XLA's.
+
+    Returns the sort's NATIVE chunk-row 2-D form (chunks, pad_to/chunks)
+    when chunked (flat when chunks <= 1): windows, the probe kernels,
+    and JoinResult all carry it through, so the final jit emits no
+    rows -> flat retilings at all (~5 ms per 256M column each, 4
+    columns on the headline -- r5 trace / NEXT.md #2)."""
     if chunks <= 1:
         return _merge_sort_side(hk, vals, pad_to)
     hk_p, v_p = _pad_pair(hk, vals, pad_to)
@@ -209,8 +240,7 @@ def _merge_sort_probe(hk, vals, pad_to, chunks: int):
         hk_r, v_r = flat_to_rows(hk_p, chunks), flat_to_rows(v_p, chunks)
     else:
         hk_r, v_r = hk_p.reshape(chunks, -1), v_p.reshape(chunks, -1)
-    hk2, v2 = jax.lax.sort((hk_r, v_r), dimension=1, num_keys=1)
-    return hk2.reshape(-1), v2.reshape(-1)
+    return jax.lax.sort((hk_r, v_r), dimension=1, num_keys=1)
 
 
 def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int,
@@ -236,9 +266,18 @@ def _merge_windows(bhk, ohk_s, tile: int, window: int, rows_total: int,
     wider window is always exact -- rows before the left-search-minus-1
     anchor hold keys strictly below the tile's minimum (sorted build),
     so extra low slots can never match, and extra high slots hold keys
-    past the tile's max."""
-    lo = ohk_s[::tile]
-    hi = ohk_s[tile - 1 :: tile]
+    past the tile's max.
+
+    ohk_s may be flat (cap,) or chunk-row 2-D (C, cap/C) -- cap is a
+    multiple of chunks*tile (_merge_params), so tiles never straddle
+    chunk rows and the per-row strided bounds flatten to exactly the
+    flat form's."""
+    if ohk_s.ndim == 2:
+        lo = ohk_s[:, ::tile].reshape(-1)
+        hi = ohk_s[:, tile - 1 :: tile].reshape(-1)
+    else:
+        lo = ohk_s[::tile]
+        hi = ohk_s[tile - 1 :: tile]
     # windows only need 128-slot (row) precision, so the searches run
     # against the ROW-FIRST elements (bhk[::128], 128x smaller) instead
     # of the full build side; anchors round DOWN one row and spans UP one

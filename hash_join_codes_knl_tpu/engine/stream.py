@@ -91,8 +91,10 @@ def _sidecar_path(d: str, k: int) -> str:
 
 
 def _spill_chunk(d: str, k: int, mval, mcnt, meta: dict) -> None:
-    mval = np.asarray(mval, dtype=np.uint32)
-    mcnt = np.asarray(mcnt, dtype=np.int32).astype(np.uint32)
+    # flatten: the on-disk format is the 1-D padded layout (chunk-row
+    # 2-D engine results flatten to it row-major, matching the replay)
+    mval = np.asarray(mval, dtype=np.uint32).reshape(-1)
+    mcnt = np.asarray(mcnt, dtype=np.int32).astype(np.uint32).reshape(-1)
     _write_u32(os.path.join(d, f"chunk_{k:06d}_mval.bin"), mval)
     _write_u32(os.path.join(d, f"chunk_{k:06d}_mcnt.bin"), mcnt)
     meta = dict(meta, mval_checksum=_chunk_checksum(mval),

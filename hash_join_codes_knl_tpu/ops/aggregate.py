@@ -341,6 +341,7 @@ def aggregate_join_result(res):
             "multi-match rows present; expand via ops/expand.py "
             "(materialize_expanded) and aggregate the expanded columns"
         )
+    res = res.flat()  # hash_aggregate takes the 1-D padded layout
     matched = res.match_cnts == 1
     keys = jnp.where(matched, res.probe_keys, jnp.uint32(PAD_KEY))
     return hash_aggregate(keys, res.match_vals)

@@ -332,7 +332,7 @@ def merge_probe_gather(
     width-independent candidate with no per-row coarse pass."""
     assert window % 128 == 0 and window // 128 <= 128, window
     assert k_sel >= 2, k_sel
-    n_tiles = probe_hk.shape[0] // tile
+    n_tiles = probe_hk.size // tile
     has_sovf = select == "rowbase"
     kernel = make_window_probe_kernel(
         window // 128, n_tiles,

@@ -175,8 +175,15 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
     match_cnts, select_overflow_total): the third value counts probe
     LANES whose rowbase boundary slice could not cover their span --
     a constant 0 unless has_sovf (the rowbase select), whose kernel
-    emits the extra per-tile overflow output."""
-    cap = probe_hk.shape[0]
+    emits the extra per-tile overflow output.
+
+    probe_hk may be flat (cap,) or the chunk-row 2-D form (C, cap/C)
+    straight off the batched chunk sort; outputs MIRROR its shape (the
+    row-major flattening is the canonical padded layout either way).
+    Keeping the 2-D form end-to-end lets XLA collapse the sort-output /
+    kernel-input / kernel-output reshapes -- each a ~5 ms physical
+    retiling per 256M column on v5e (r5 trace, PERF_NOTES)."""
+    cap = probe_hk.size
     n_tiles = cap // tile
     r_rows = tile // 128
     # a non-multiple window would silently FLOOR here while the caller's
@@ -228,7 +235,7 @@ def window_probe_call(kernel, probe_hk, build_hk2d, build_val2d,
     )(wrow2, probe3d, build_hk2d, build_val2d)
     mv, mc = out[0], out[1]
     sovf = jnp.sum(out[2]) if has_sovf else jnp.zeros((), jnp.int32)
-    return mv.reshape(cap), mc.reshape(cap), sovf
+    return mv.reshape(probe_hk.shape), mc.reshape(probe_hk.shape), sovf
 
 
 def window_probe_call_indexed(kernel, probe_hk, build_hk2d, build_val2d,
@@ -247,8 +254,9 @@ def window_probe_call_indexed(kernel, probe_hk, build_hk2d, build_val2d,
 
     wrow_compact[j] is tile_idx[j]'s window anchor CLAMPED for this
     window's width.  Returns (mv, mc) with the subset's blocks
-    replaced."""
-    cap = probe_hk.shape[0]
+    replaced; shapes mirror probe_hk (flat or chunk-row 2-D), like
+    window_probe_call."""
+    cap = probe_hk.size
     n_tiles = cap // tile
     r_rows = tile // 128
     assert window % 128 == 0, window
@@ -310,7 +318,7 @@ def window_probe_call_indexed(kernel, probe_hk, build_hk2d, build_val2d,
         interpret=interpret,
     )(tile_idx.astype(jnp.int32), wrow2, probe3d, build_hk2d,
       build_val2d, mv3, mc3)
-    return mv.reshape(cap), mc.reshape(cap)
+    return mv.reshape(probe_hk.shape), mc.reshape(probe_hk.shape)
 
 
 def _dense_row_result_factory(w_chunks: int):
@@ -372,7 +380,7 @@ def merge_probe_pallas(
     window: int,  # window size in slots, multiple of 128
     interpret: bool = False,
 ):
-    n_tiles = probe_hk.shape[0] // tile
+    n_tiles = probe_hk.size // tile
     kernel = make_window_probe_kernel(
         window // 128, n_tiles, _dense_row_result_factory(window // 128)
     )
@@ -384,14 +392,17 @@ def merge_probe_pallas(
 
 def merge_probe_jnp(probe_hk, build_hk2d, build_val2d, window_row, tile,
                     window):
-    """jnp oracle of the merge probe (scan over tiles, dynamic windows)."""
-    cap = probe_hk.shape[0]
+    """jnp oracle of the merge probe (scan over tiles, dynamic windows).
+    Accepts flat or chunk-row 2-D probe_hk; outputs mirror its shape."""
+    shape = probe_hk.shape
+    probe_flat = probe_hk.reshape(-1)
+    cap = probe_flat.shape[0]
     n_tiles = cap // tile
     bflat_k = build_hk2d.reshape(-1)
     bflat_v = build_val2d.reshape(-1)
 
     def one(_, t):
-        ok = jax.lax.dynamic_slice(probe_hk, (t * tile,), (tile,))
+        ok = jax.lax.dynamic_slice(probe_flat, (t * tile,), (tile,))
         start = window_row[t] * 128
         wk = jax.lax.dynamic_slice(bflat_k, (start,), (window,))
         wv = jax.lax.dynamic_slice(bflat_v, (start,), (window,))
@@ -403,4 +414,4 @@ def merge_probe_jnp(probe_hk, build_hk2d, build_val2d, window_row, tile,
         return _, (mval, mcnt)
 
     _, (mv, mc) = jax.lax.scan(one, 0, jnp.arange(n_tiles))
-    return mv.reshape(cap), mc.reshape(cap)
+    return mv.reshape(shape), mc.reshape(shape)

@@ -295,7 +295,8 @@ def make_cpra_step(
             overflow |= jnp.any(icnt > inner_cap) | jnp.any(ocnt > outer_cap)
             rik, riv = a2a(bik.reshape(-1)), a2a(biv.reshape(-1))
             rok, rov = a2a(bok.reshape(-1)), a2a(bov.reshape(-1))
-        res = phj_join(rik, riv, rok, rov, local_plan)
+        # .flat(): out_specs shard leaf dim 0 of the flat padded layout
+        res = phj_join(rik, riv, rok, rov, local_plan).flat()
         # diag = [exchange-cap overflow count, engine overflow count,
         # max required probe span, heavy-build-cap overflow count,
         # select-overflow count]: the overflow sources stay SEPARATE so
@@ -375,7 +376,8 @@ def make_cpra_steps_staged(
                 a2a(bok.reshape(-1)), a2a(bov.reshape(-1)), overflow)
 
     def local_join(rik, riv, rok, rov):
-        res = phj_join(rik, riv, rok, rov, local_plan)
+        # .flat(): out_specs shard leaf dim 0 of the flat padded layout
+        res = phj_join(rik, riv, rok, rov, local_plan).flat()
         overflow = _engine_overflow(res, local_plan) > 0
         overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
         return res, overflow
@@ -565,7 +567,8 @@ def make_cpra_step_2level(
         # level 2: route by the next c_bits over ICI
         ik, iv = exchange(ik, iv, chip_axis, C, c_bits, h_bits, inner_cap)
         ok, ov = exchange(ok, ov, chip_axis, C, c_bits, h_bits, outer_cap)
-        res = phj_join(ik, iv, ok, ov, local_plan)
+        # .flat(): out_specs shard leaf dim 0 of the flat padded layout
+        res = phj_join(ik, iv, ok, ov, local_plan).flat()
         # engine overflow (window tiles / radix pass flag / table slots)
         # must surface here exactly as in make_cpra_step -- overflows are
         # values, never silent

@@ -330,7 +330,8 @@ def _make_join_step(mesh: Mesh, axis: str, local_plan: JoinPlan):
     lru-cached for the same recompile reason as _make_partition_step."""
 
     def step(bk, bv, pk, pv):
-        res = phj_join(bk, bv, pk, pv, local_plan)
+        # .flat(): out_specs shard leaf dim 0 of the flat padded layout
+        res = phj_join(bk, bv, pk, pv, local_plan).flat()
         diag = jnp.stack([
             jax.lax.psum(
                 _engine_overflow(res, local_plan).astype(jnp.int32), axis
